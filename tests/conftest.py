@@ -1,0 +1,23 @@
+"""Test configuration: run all tests on an 8-device virtual CPU mesh.
+
+This is the standard JAX substitute for multi-device testing without
+hardware (SURVEY.md §4): sharding/collective code paths compile and execute
+exactly as on a TPU slice.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(0)

@@ -1,0 +1,117 @@
+"""Typed configuration for the whole framework.
+
+The reference scatters its configuration across module constants
+(src/downscaling/api.py:22-28), constructor kwargs
+(src/downscaling/data/data_generator.py:97-112) and env vars
+(src/downscaling/autoencoder/features_encoding.py:6).  Here it is one set of
+frozen dataclasses so a jitted program's static arguments hash cleanly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Architecture of the generator/discriminator pair.
+
+    Defaults reproduce the shipped inference network
+    (reference api.py:22-28: T=24, 96 px, 3 inputs, 20 noise channels,
+    2 outputs) at generator feature width 128 / discriminator width 16
+    (reference gan/models.py:16,83).
+    """
+
+    image_size: int = 96
+    in_channels: int = 3
+    noise_channels: int = 20
+    out_channels: int = 2
+    sequence_length: int = 24
+    generator_features: int = 128
+    discriminator_features: int = 16
+    # Computation dtype for the conv stack.  Parameters are always float32;
+    # bfloat16 here feeds the MXU at double rate.
+    compute_dtype: str = "float32"
+
+    def __post_init__(self):
+        if self.image_size % 4 != 0:
+            raise ValueError("image_size must be a multiple of 4")
+        if self.generator_features % 8 != 0:
+            raise ValueError("generator_features must be a multiple of 8")
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """WGAN-GP optimization schedule (reference gan/ganbase.py:9-61,
+    gan/train.py:34-59)."""
+
+    batch_size: int = 8
+    n_critic: int = 3
+    gp_weight: float = 100.0
+    noise_std: float = 0.1
+    # Adam hyperparameters as compiled in the reference (train.py:35,58).
+    g_learning_rate: float = 1e-4
+    d_learning_rate: float = 4e-4
+    adam_b1: float = 0.5
+    adam_b2: float = 0.9
+    adam_eps: float = 0.1
+    # RMSprop(5e-5) is the commented-out alternative the shipped weights-55
+    # checkpoint was actually trained with (train.py:36,59 + ckpt index).
+    optimizer: str = "adam"
+    rmsprop_learning_rate: float = 5e-5
+    # Optional perceptual reconstruction loss coefficient (train.py:19-26).
+    reconstruction_coefficient: float = 0.0
+    # Whether to compute the domain metric suite inside the train step
+    # (reference recomputes with training=False, ganbase.py:63-72).
+    compute_metrics: bool = True
+    # Compute the (expensive) spatial KS metric in-step.
+    compute_spatial_ks: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """Training data pipeline (reference data_generator.py:97-112)."""
+
+    sequence_length: int = 6
+    patch_size: int = 30
+    batch_size: int = 16
+    transform: bool = True
+    input_variables: Tuple[str, ...] = (
+        "u10", "v10", "blh", "fsr", "sp", "z", "vo", "d",
+        "tpi_500", "ridge_index_norm",
+    )
+    output_variables: Tuple[str, ...] = ("U_10M", "V_10M")
+    num_workers: int = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class InferenceConfig:
+    """Tiled inference (reference api.py:89-152)."""
+
+    sequence_length: int = 24
+    image_size: int = 96
+    batch_size: int = 8
+    noise_channels: int = 20
+    noise_std: float = 0.1
+    overlap_factor: float = 0.05
+    border_crop: int = 2
+    group_size: int = 16  # BATCH_SIZE * 2, reference api.py:132
+    # The reference normalizes the stacked 5-D patch tensor over axes
+    # (0, 1, 2) = (patch, time, lon) — NOT per-channel (api.py:128-129).
+    # True replicates that quirk bit-for-bit; False normalizes per-channel
+    # over (patch, time, lon, lat), which is almost surely the intent.
+    replicate_normalization_quirk: bool = True
+    # Ensemble members for stochastic inference (one per device when the
+    # mesh has an 'ensemble' axis).
+    ensemble_members: int = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class GANConfig:
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    inference: InferenceConfig = dataclasses.field(default_factory=InferenceConfig)
+    seed: int = 0
+    checkpoint_dir: Optional[str] = None

@@ -1,0 +1,8 @@
+from windtpu.data.noise import FlexibleNoiseGenerator, NoiseGenerator  # noqa: F401
+from windtpu.data.decoders import (  # noqa: F401
+    NaiveDecoder,
+    WindComponentDecoder,
+    WindSpeedDecoder,
+)
+from windtpu.data.providers import LocalFileProvider, Provider, S3FileProvider  # noqa: F401
+from windtpu.data.batch import BatchGenerator, SyntheticDayProvider  # noqa: F401

@@ -1,0 +1,339 @@
+"""TPU-first building blocks for the wind-downscaling models.
+
+Design notes (vs the TF/Keras reference):
+
+* **Time folding.**  Every "TimeDistributed" conv in the reference
+  (gan/models.py:32-71,94-135) is here a single conv over ``(B*T, H, W, C)``.
+  Merging the two leading axes is a free bitcast for XLA and hands the MXU
+  one large batched convolution instead of T small ones.
+
+* **Spectral normalization** (reference wraps convs in
+  ``tfa.layers.SpectralNormalization``) is a one-step power iteration on the
+  kernel reshaped to ``(-1, out_features)``, with the left singular vector
+  ``u`` persisted in the ``spectral_stats`` variable collection and updated
+  only when ``update_stats=True`` (train mode) — standard Miyato semantics.
+  tfa instead re-assigns the normalized kernel in place each call; both keep
+  the layer ~1-Lipschitz, which is the property WGAN-GP needs.
+
+* **ConvLSTM** (reference kl.ConvLSTM2D, gan/models.py:45,93,101) is a
+  ``jax.lax.scan`` over time.  The input-to-gate convolution for *all*
+  timesteps is hoisted out of the scan and computed as one big folded conv;
+  only the recurrent h->gates conv runs inside the loop.  Keras gate order
+  (i, f, c, o), ``tanh`` activation, ``hard_sigmoid`` recurrent activation
+  and unit forget bias are reproduced so retrained weights behave alike.
+
+* Keras-parity epsilons: BatchNorm/LayerNorm use eps=1e-3, momentum=0.99
+  (Keras 2.4 defaults), not the Flax defaults.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = jnp.dtype
+
+
+def leaky_relu(x, negative_slope: float = 0.2):
+    """LeakyReLU(0.2) — the activation used everywhere in the reference."""
+    return nn.leaky_relu(x, negative_slope=negative_slope)
+
+
+def hard_sigmoid(x):
+    """Keras hard_sigmoid: clip(0.2*x + 0.5, 0, 1)."""
+    return jnp.clip(0.2 * x + 0.5, 0.0, 1.0)
+
+
+def fold_time(x: jax.Array) -> Tuple[jax.Array, int]:
+    """(B, T, H, W, C) -> ((B*T, H, W, C), B)."""
+    b = x.shape[0]
+    return x.reshape((-1,) + x.shape[2:]), b
+
+
+def unfold_time(x: jax.Array, batch: int) -> jax.Array:
+    """(B*T, H, W, C) -> (B, T, H, W, C)."""
+    return x.reshape((batch, -1) + x.shape[1:])
+
+
+def _l2_normalize(v, eps=1e-12):
+    return v * jax.lax.rsqrt(jnp.sum(v * v) + eps)
+
+
+class SpectralNorm(nn.Module):
+    """One-step power-iteration spectral normalization of a kernel.
+
+    Stores ``u`` (shape ``(out,)``) in the ``spectral_stats`` collection.
+    Returns ``kernel / sigma``.
+    """
+
+    update_stats: bool = True
+
+    @nn.compact
+    def __call__(self, kernel: jax.Array) -> jax.Array:
+        out_features = kernel.shape[-1]
+        w = kernel.reshape(-1, out_features)
+        u_var = self.variable(
+            "spectral_stats", "u",
+            lambda: jax.random.normal(jax.random.key(0), (out_features,)),
+        )
+        u = u_var.value
+        # Power iteration in float32 regardless of compute dtype.
+        w32 = w.astype(jnp.float32)
+        v = _l2_normalize(w32 @ u)           # (in,)
+        u_new = _l2_normalize(v @ w32)       # (out,)
+        v = jax.lax.stop_gradient(v)
+        u_new = jax.lax.stop_gradient(u_new)
+        sigma = jnp.einsum("i,io,o->", v, w32.astype(kernel.dtype), u_new.astype(kernel.dtype))
+        if self.update_stats and not self.is_initializing():
+            u_var.value = u_new
+        return kernel / sigma
+
+
+class TimeConv(nn.Module):
+    """Time-distributed Conv2D over (B, T, H, W, C) via time folding.
+
+    Covers the reference's ``TimeDistributed(SpectralNormalization(Conv2D))``
+    blocks (gan/models.py:33,39,49,94-96,102-104,113-115 …).  ``padding`` may
+    be an int (symmetric zero-pad, matching Keras ZeroPadding2D + VALID conv),
+    'SAME' or 'VALID'.
+    """
+
+    features: int
+    kernel_size: Tuple[int, int]
+    strides: Tuple[int, int] = (1, 1)
+    padding: "int | str" = "SAME"
+    use_spectral_norm: bool = True
+    activation: Optional[Callable] = leaky_relu
+    update_sn_stats: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        pad = self.padding
+        if isinstance(pad, int):
+            pad = [(pad, pad), (pad, pad)]
+        folded, b = fold_time(x)
+        conv = nn.Conv(
+            self.features, self.kernel_size, strides=self.strides,
+            padding=pad, dtype=self.dtype, name="conv",
+        )
+        if self.use_spectral_norm:
+            # Normalize the conv kernel before application.
+            kernel = self.param(
+                "kernel",
+                nn.initializers.glorot_uniform(),
+                self.kernel_size + (folded.shape[-1], self.features),
+                jnp.float32,
+            )
+            bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            kernel = SpectralNorm(update_stats=self.update_sn_stats, name="sn")(kernel)
+            dt = self.dtype or folded.dtype
+            y = jax.lax.conv_general_dilated(
+                folded.astype(dt), kernel.astype(dt),
+                window_strides=self.strides,
+                padding=pad if not isinstance(pad, str) else pad,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            y = y + bias.astype(y.dtype)
+        else:
+            y = conv(folded)
+        if self.activation is not None:
+            y = self.activation(y)
+        return unfold_time(y, b)
+
+
+class TimeConvTranspose(nn.Module):
+    """Time-distributed Conv2DTranspose (reference gan/models.py:55,63-64)."""
+
+    features: int
+    kernel_size: Tuple[int, int]
+    strides: Tuple[int, int] = (1, 1)
+    padding: str = "VALID"
+    use_spectral_norm: bool = False
+    activation: Optional[Callable] = leaky_relu
+    update_sn_stats: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        folded, b = fold_time(x)
+        if self.use_spectral_norm:
+            kernel = self.param(
+                "kernel",
+                nn.initializers.glorot_uniform(),
+                self.kernel_size + (folded.shape[-1], self.features),
+                jnp.float32,
+            )
+            bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            kernel = SpectralNorm(update_stats=self.update_sn_stats, name="sn")(kernel)
+            dt = self.dtype or folded.dtype
+            y = jax.lax.conv_transpose(
+                folded.astype(dt), kernel.astype(dt),
+                strides=self.strides, padding=self.padding,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            y = y + bias.astype(y.dtype)
+        else:
+            y = nn.ConvTranspose(
+                self.features, self.kernel_size, strides=self.strides,
+                padding=self.padding, dtype=self.dtype, name="conv",
+            )(folded)
+        if self.activation is not None:
+            y = self.activation(y)
+        return unfold_time(y, b)
+
+
+class TimeBatchNorm(nn.Module):
+    """BatchNormalization over (B, T, H, W) per channel — Keras axis=-1
+    semantics (reference gan/models.py:34,40,50,56,69), via time folding."""
+
+    use_running_average: bool
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        folded, b = fold_time(x)
+        y = nn.BatchNorm(
+            use_running_average=self.use_running_average,
+            momentum=0.99, epsilon=1e-3, dtype=self.dtype, name="bn",
+        )(folded)
+        return unfold_time(y, b)
+
+
+class KerasLayerNorm(nn.Module):
+    """LayerNormalization over the channel axis, Keras eps=1e-3
+    (reference gan/models.py:97,105,116,125,136)."""
+
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return nn.LayerNorm(epsilon=1e-3, dtype=self.dtype, name="ln")(x)
+
+
+class ConvLSTM(nn.Module):
+    """ConvLSTM2D over (B, T, H, W, C) -> (B, T, H, W, features).
+
+    Keras-compatible recurrence (kl.ConvLSTM2D, gan/models.py:45,93,101):
+    gate order (i, f, c, o), hard_sigmoid recurrent activation, tanh cell
+    activation, unit forget bias, orthogonal recurrent initializer.
+
+    TPU shaping: the input conv for all T steps runs as ONE folded conv
+    (B*T batch) before the scan; the scan body contains only the recurrent
+    conv and elementwise gate math, which XLA fuses.
+    """
+
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, t, h, w, _ = x.shape
+        f = self.features
+
+        # Hoisted input->gates conv over all timesteps at once.
+        folded, _ = fold_time(x)
+        zx = nn.Conv(
+            4 * f, self.kernel_size, padding="SAME", dtype=self.dtype,
+            name="input_conv",
+        )(folded)
+        zx = unfold_time(zx, b)  # (B, T, H, W, 4F)
+
+        recurrent_kernel = self.param(
+            "recurrent_kernel", nn.initializers.orthogonal(),
+            self.kernel_size + (f, 4 * f), jnp.float32,
+        )
+        # Keras unit_forget_bias: the forget-gate bias starts at 1.
+        forget_bias = self.param(
+            "forget_bias", nn.initializers.ones, (f,), jnp.float32
+        )
+
+        dt = zx.dtype
+        rk = recurrent_kernel.astype(dt)
+        fb = forget_bias.astype(dt)
+
+        def step(carry, zx_t):
+            h_prev, c_prev = carry
+            zh = jax.lax.conv_general_dilated(
+                h_prev, rk, window_strides=(1, 1), padding="SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            z = zx_t + zh
+            zi, zf, zc, zo = jnp.split(z, 4, axis=-1)
+            i = hard_sigmoid(zi)
+            fg = hard_sigmoid(zf + fb)
+            c = fg * c_prev + i * jnp.tanh(zc)
+            o = hard_sigmoid(zo)
+            h_new = o * jnp.tanh(c)
+            return (h_new, c), h_new
+
+        h0 = jnp.zeros((b, h, w, f), dt)
+        c0 = jnp.zeros((b, h, w, f), dt)
+        zx_tmajor = jnp.moveaxis(zx, 1, 0)  # (T, B, H, W, 4F)
+        (_, _), ys = jax.lax.scan(step, (h0, c0), zx_tmajor)
+        return jnp.moveaxis(ys, 0, 1)  # (B, T, H, W, F)
+
+
+class TimeDense(nn.Module):
+    """TimeDistributed Dense (reference gan/models.py:139)."""
+
+    features: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return nn.Dense(self.features, dtype=self.dtype, name="dense")(x)
+
+
+def bilinear_upsample_2x(x: jax.Array) -> jax.Array:
+    """Keras UpSampling2D(size=2, interpolation='bilinear') on (B,T,H,W,C).
+
+    Keras uses tf.image.resize with half_pixel_centers; jax.image.resize
+    with method='bilinear' matches that convention.
+    """
+    b, t, h, w, c = x.shape
+    folded = x.reshape(b * t, h, w, c)
+    y = jax.image.resize(folded, (b * t, 2 * h, 2 * w, c), method="bilinear")
+    return y.reshape(b, t, 2 * h, 2 * w, c)
+
+
+def shortcut_geometry(in_size: int, target: int) -> Tuple[int, int, int]:
+    """Stride/padding/kernel so one conv maps ``in_size`` -> ``target``.
+
+    Same arithmetic as the reference shortcut_convolution
+    (tf_utils.py:23-26): used to align a residual branch with the output of
+    a conv pyramid.
+    """
+    if target == 1:
+        return 1, 0, in_size
+    strides = -(-(2 + in_size) // (target - 1))  # ceil
+    margin = 2
+    padding = -(-(strides * (target - 1) - in_size) // 2) + 1 + margin
+    kernel = strides * (1 - target) + in_size + 2 * padding
+    return strides, padding, kernel
+
+
+class ShortcutConv(nn.Module):
+    """Strided SN conv + LayerNorm aligning a hi-res residual to a target
+    spatial size (reference tf_utils.py:15-32)."""
+
+    target_size: int
+    features: int
+    update_sn_stats: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        in_size = x.shape[2]
+        strides, padding, kernel = shortcut_geometry(in_size, self.target_size)
+        y = TimeConv(
+            self.features, (kernel, kernel), strides=(strides, strides),
+            padding=padding, use_spectral_norm=True,
+            update_sn_stats=self.update_sn_stats, dtype=self.dtype,
+            name="conv",
+        )(x)
+        return KerasLayerNorm(dtype=self.dtype, name="norm")(y)
