@@ -1,0 +1,178 @@
+"""Data pipeline: noise generators, decoders, providers, batch shapes,
+augmentation determinism."""
+
+import numpy as np
+import jax
+import pytest
+
+from windtpu.core.config import DataConfig
+from windtpu.data import (
+    BatchGenerator,
+    FlexibleNoiseGenerator,
+    NaiveDecoder,
+    NoiseGenerator,
+    SyntheticDayProvider,
+    WindComponentDecoder,
+    WindSpeedDecoder,
+)
+from windtpu.data.providers import LocalFileProvider, _pattern_to_regex
+
+
+class TestNoise:
+    def test_flexible_shape_and_std(self):
+        gen = FlexibleNoiseGenerator((4, 6, 16, 16, 20), std=0.1,
+                                     random_seed=0)
+        n = np.asarray(gen())
+        assert n.shape == (4, 6, 16, 16, 20)
+        assert abs(n.std() - 0.1) < 0.01
+        assert abs(n.mean()) < 0.01
+
+    def test_flexible_overrides(self):
+        gen = FlexibleNoiseGenerator((4, 6, 16, 16, 20), std=0.1)
+        n = np.asarray(gen(bs=2, channels=3, std=1.0))
+        assert n.shape == (2, 6, 16, 16, 3)
+        assert abs(n.std() - 1.0) < 0.05
+
+    def test_flexible_pure_sampling_reproducible(self):
+        gen = FlexibleNoiseGenerator((2, 3, 8, 8, 4), std=0.5)
+        k = jax.random.key(42)
+        np.testing.assert_array_equal(np.asarray(gen.sample(k)),
+                                      np.asarray(gen.sample(k)))
+
+    def test_structured_noise_broadcast_pattern(self):
+        gen = NoiseGenerator((2, 4, 8, 8), std=1.0, random_seed=1)
+        n = np.asarray(gen())
+        assert n.shape == (2, 4, 8, 8, 4)
+        # Channel 0 varies only along time.
+        assert np.allclose(n[0, 0, :, :, 0], n[0, 0, 0, 0, 0])
+        assert not np.allclose(n[0, 0, 0, 0, 0], n[0, 1, 0, 0, 0])
+        # Channel 1 varies only along x (axis 2).
+        assert np.allclose(n[0, :, 3, :, 1], n[0, 0, 3, 0, 1])
+        # Channel 3 varies along x and y but not time.
+        assert np.allclose(n[0, :, 3, 5, 3], n[0, 0, 3, 5, 3])
+
+
+class TestDecoders:
+    def test_naive_zscore_per_channel(self, rng):
+        img = rng.standard_normal((4, 8, 8, 3)).astype(np.float32) * 5 + 2
+        out = NaiveDecoder()(img)
+        np.testing.assert_allclose(out.mean(axis=(0, 1, 2)), 0.0, atol=1e-5)
+        np.testing.assert_allclose(out.std(axis=(0, 1, 2)), 1.0, atol=1e-4)
+
+    def test_wind_speed_decoder_masks_zeros(self):
+        img = np.array([[0.0, 1.0], [-5.0, 3.0]], dtype=np.float32)
+        out = WindSpeedDecoder()(img)
+        assert np.isnan(out[0, 0])       # zero masked
+        assert np.isnan(out[1, 0])       # below range
+        assert out[0, 1] == 1.0
+        assert out[1, 1] == np.float32(np.log10(100))  # clipped at max
+
+    def test_wind_component_decoder_normalizes(self, rng):
+        img = rng.uniform(-5, 5, (6, 6)).astype(np.float32)
+        img[0, 0] = 0.0
+        out = WindComponentDecoder()(img)
+        assert np.isnan(out[0, 0])
+
+
+class TestProviders:
+    def test_pattern_regex(self):
+        rx = _pattern_to_regex("x_{date}.nc")
+        assert rx.match("x_20200101.nc").group("date") == "20200101"
+        assert rx.match("y_20200101.nc") is None
+
+    def test_local_provider(self, tmp_path):
+        for d in ["20200101", "20200102"]:
+            (tmp_path / f"x_{d}.nc").touch()
+        (tmp_path / "unrelated.txt").touch()
+        p = LocalFileProvider(tmp_path, "x_{date}.nc")
+        assert p.available_dates == {"20200101", "20200102"}
+        assert p.load("20200101").name == "x_20200101.nc"
+        with p.provide("20200102") as path:
+            assert path.exists()
+
+    def test_local_provider_requires_date(self, tmp_path):
+        with pytest.raises(ValueError):
+            LocalFileProvider(tmp_path, "static.nc")
+
+
+class TestBatchGenerator:
+    CFG = DataConfig(sequence_length=3, patch_size=16, batch_size=4,
+                     input_variables=("u10", "v10", "elevation"),
+                     output_variables=("U_10M", "V_10M"))
+
+    def _bg(self, transform=True, seed=0):
+        import dataclasses
+
+        cfg = dataclasses.replace(self.CFG, transform=transform)
+        dates = ["20200101", "20200102", "20200103"]
+        return BatchGenerator(
+            SyntheticDayProvider(dates, cfg.input_variables, ny=32, nx=32,
+                                 nt=6),
+            output_provider=SyntheticDayProvider(
+                dates, cfg.output_variables, ny=32, nx=32, nt=6, seed=5),
+            config=cfg, seed=seed,
+        )
+
+    def test_shapes(self):
+        x, y = next(iter(self._bg()))
+        assert x.shape == (4, 3, 16, 16, 3)
+        assert y.shape == (4, 3, 16, 16, 2)
+        assert x.dtype == np.float32
+
+    def test_elevation_scaled(self):
+        """elevation is divided by 1e3 before normalization
+        (reference data_generator.py:212-213) — check via decoder-less
+        pipeline."""
+        import dataclasses
+
+        cfg = dataclasses.replace(self.CFG, transform=False)
+        dates = ["20200101"]
+        bg = BatchGenerator(
+            SyntheticDayProvider(dates, cfg.input_variables, ny=32, nx=32,
+                                 nt=6),
+            decoder=lambda x: x,  # identity
+            config=cfg, seed=0,
+        )
+        x = next(iter(bg))
+        elev_channel = x[..., 2]
+        assert np.abs(elev_channel).max() < 0.1  # raw synthetic ~O(1) / 1e3
+
+    def test_seed_determinism(self):
+        x1, y1 = next(iter(self._bg(seed=3)))
+        x2, y2 = next(iter(self._bg(seed=3)))
+        np.testing.assert_array_equal(x1, x2)
+        np.testing.assert_array_equal(y1, y2)
+
+    def test_augmentation_pairs_inputs_and_outputs(self):
+        """Flips/rotations must be applied identically to X and Y: train on
+        (u10, v10) inputs == (U, V) outputs and the crop correlation
+        survives augmentation."""
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            self.CFG, input_variables=("u10", "v10"),
+            output_variables=("u10", "v10"))
+        dates = ["20200101"]
+        prov = SyntheticDayProvider(dates, ["u10", "v10"], ny=32, nx=32, nt=6)
+        bg = BatchGenerator(prov, decoder=lambda x: x, output_provider=prov,
+                            config=cfg, seed=1)
+        x, y = next(iter(bg))
+        np.testing.assert_allclose(x, y, rtol=1e-6)
+
+    def test_threaded_iteration(self):
+        bg = self._bg()
+        bg.num_workers = 2
+        it = iter(bg)
+        for _ in range(3):
+            x, y = next(it)
+            assert x.shape == (4, 3, 16, 16, 3)
+
+    def test_device_iterator_sharded(self):
+        from windtpu.core.mesh import make_mesh
+
+        mesh = make_mesh({"data": 4})
+        bg = self._bg()
+        it = bg.as_device_iterator(mesh)
+        x, y = next(it)
+        assert x.shape == (4, 3, 16, 16, 3)
+        assert len(x.sharding.device_set) == 4

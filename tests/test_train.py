@@ -1,0 +1,144 @@
+"""WGAN-GP train step: compiles as one program, state advances, losses
+finite, critic learns to separate real from fake (BASELINE config 2's
+tiny-synthetic-train test, SURVEY.md §7)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from windtpu.core.config import DataConfig, GANConfig, ModelConfig, TrainConfig
+from windtpu.data import BatchGenerator, SyntheticDayProvider
+from windtpu.train import create_train_state, make_eval_step, make_train_step
+from windtpu.train import checkpoint as ckpt
+
+TINY = GANConfig(
+    model=ModelConfig(image_size=24, in_channels=3, noise_channels=2,
+                      out_channels=2, sequence_length=2,
+                      generator_features=16, discriminator_features=4),
+    train=TrainConfig(batch_size=2, n_critic=2),
+)
+
+
+def _batch(cfg, seed=0):
+    k1, k2 = jax.random.split(jax.random.key(seed))
+    m = cfg.model
+    lr = jax.random.normal(k1, (cfg.train.batch_size, m.sequence_length,
+                                m.image_size, m.image_size, m.in_channels))
+    hr = jax.random.normal(k2, (cfg.train.batch_size, m.sequence_length,
+                                m.image_size, m.image_size, m.out_channels))
+    return lr, hr
+
+
+@pytest.fixture(scope="module")
+def trained():
+    state = create_train_state(TINY)
+    step = make_train_step(TINY)
+    lr, hr = _batch(TINY)
+    rng = jax.random.key(3)
+    metrics = None
+    for _ in range(5):
+        state, metrics = step(state, lr, hr, rng)
+    return state, metrics
+
+
+def test_step_advances_and_metrics_finite(trained):
+    state, metrics = trained
+    assert int(state.step) == 5
+    expected_keys = {"g_loss", "g_disc_loss", "g_reco_loss", "d_loss",
+                     "d_gradient_pen", "g_gradient_param",
+                     "d_gradient_param", "d_real", "d_fake", "g_acd",
+                     "g_lsd", "g_extreme_rmse", "g_ws_weighted_rmse",
+                     "g_ws_rmse"}
+    assert expected_keys <= set(metrics)
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), f"{k} is not finite"
+
+
+def test_critic_separates_real_from_fake():
+    """After critic-only pressure the Wasserstein gap E[real]-E[fake]
+    should become positive (critic assigns higher scores to real)."""
+    cfg = TINY
+    state = create_train_state(cfg)
+    step = make_train_step(cfg)
+    lr, hr = _batch(cfg, seed=7)
+    rng = jax.random.key(11)
+    gaps = []
+    for _ in range(12):
+        state, m = step(state, lr, hr, rng)
+        gaps.append(float(m["d_real"]) - float(m["d_fake"]))
+    assert gaps[-1] > gaps[0] or gaps[-1] > 0.0, gaps
+
+
+def test_params_change():
+    cfg = TINY
+    state0 = create_train_state(cfg)
+    step = make_train_step(cfg)
+    lr, hr = _batch(cfg)
+    state1, _ = step(state0, lr, hr, jax.random.key(0))
+    g0 = jax.tree_util.tree_leaves(create_train_state(cfg).g_params)
+    g1 = jax.tree_util.tree_leaves(state1.g_params)
+    assert any(not np.allclose(np.asarray(a), np.asarray(b))
+               for a, b in zip(g0, g1))
+
+
+def test_detach_gp_quirk_changes_critic_grads():
+    """detach_gp=True (reference parity mode, ganbase.py:32-45) must remove
+    the penalty's parameter gradient; the two modes diverge."""
+    import dataclasses
+
+    lr, hr = _batch(TINY, seed=5)
+    rng = jax.random.key(0)
+    cfg_gp = TINY
+    cfg_nogp = dataclasses.replace(
+        TINY, train=dataclasses.replace(TINY.train, detach_gp=True))
+    s_gp, _ = make_train_step(cfg_gp)(create_train_state(cfg_gp), lr, hr, rng)
+    s_ng, _ = make_train_step(cfg_nogp)(create_train_state(cfg_nogp), lr, hr, rng)
+    d_gp = jax.tree_util.tree_leaves(s_gp.d_params)
+    d_ng = jax.tree_util.tree_leaves(s_ng.d_params)
+    assert any(not np.allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+               for a, b in zip(d_gp, d_ng))
+
+
+def test_eval_step(trained):
+    state, _ = trained
+    lr, hr = _batch(TINY, seed=2)
+    metrics = make_eval_step(TINY)(state, lr, hr, jax.random.key(1))
+    assert {"loss", "d_real", "d_fake", "g_ws_rmse"} <= set(metrics)
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+
+
+def test_checkpoint_roundtrip(tmp_path, trained):
+    state, _ = trained
+    path = ckpt.save_checkpoint(tmp_path, state)
+    template = create_train_state(TINY)
+    restored = ckpt.restore_checkpoint(path, template)
+    assert int(restored.step) == int(state.step)
+    for a, b in zip(jax.tree_util.tree_leaves(state.g_params),
+                    jax.tree_util.tree_leaves(restored.g_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # Generator-only restore for inference.
+    g_vars = ckpt.restore_generator(path, None)
+    assert set(g_vars) == {"params", "batch_stats", "spectral_stats"}
+
+
+def test_train_on_synthetic_pipeline():
+    """End-to-end: synthetic day provider -> BatchGenerator -> train step."""
+    from windtpu.train.loop import train
+
+    dcfg = DataConfig(sequence_length=2, patch_size=24, batch_size=2,
+                      input_variables=("u10", "v10", "elevation"),
+                      output_variables=("U_10M", "V_10M"))
+    cfg = GANConfig(model=TINY.model, train=TINY.train, data=dcfg)
+    dates = ["20200101", "20200102"]
+    bg = BatchGenerator(
+        SyntheticDayProvider(dates, dcfg.input_variables, ny=32, nx=32, nt=4),
+        output_provider=SyntheticDayProvider(
+            dates, dcfg.output_variables, ny=32, nx=32, nt=4, seed=9),
+        config=dcfg, seed=0,
+    )
+    state, history = train(cfg, iter(bg), num_steps=2, log_every=1)
+    assert int(state.step) == 2
+    assert len(history) == 2
+    assert np.isfinite(history[-1][1]["g_loss"])

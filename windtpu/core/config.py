@@ -62,6 +62,10 @@ class TrainConfig:
     rmsprop_learning_rate: float = 5e-5
     # Optional perceptual reconstruction loss coefficient (train.py:19-26).
     reconstruction_coefficient: float = 0.0
+    # Replicate the reference quirk where the gradient penalty is computed
+    # outside the parameter tape and therefore never trains the critic
+    # (ganbase.py:32-45).  False = real WGAN-GP.
+    detach_gp: bool = False
     # Whether to compute the domain metric suite inside the train step
     # (reference recomputes with training=False, ganbase.py:63-72).
     compute_metrics: bool = True

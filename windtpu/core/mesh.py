@@ -42,9 +42,12 @@ def make_mesh(
     if -1 in sizes:
         known = int(np.prod([s for s in sizes if s != -1]))
         sizes[sizes.index(-1)] = len(devices) // known
-    if int(np.prod(sizes)) != len(devices):
-        raise ValueError(f"mesh {dict(zip(names, sizes))} != {len(devices)} devices")
-    dev_array = np.asarray(devices).reshape(sizes)
+    need = int(np.prod(sizes))
+    if need > len(devices):
+        raise ValueError(
+            f"mesh {dict(zip(names, sizes))} needs {need} devices, "
+            f"only {len(devices)} available")
+    dev_array = np.asarray(devices[:need]).reshape(sizes)
     return Mesh(dev_array, names)
 
 

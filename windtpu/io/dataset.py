@@ -356,19 +356,19 @@ def _open_h5(path) -> Dataset:
                                   "_Netcdf4Coordinates")}
             # Determine dims via dimension scales.
             dims = []
-            try:
-                for i in range(d.ndim):
-                    scales = list(d.dims[i])
-                    if scales:
-                        dims.append(
-                            scales[0][1].name.split("/")[-1]
-                            if isinstance(scales[0], tuple)
-                            else scales[0].name.split("/")[-1]
-                        )
+            for i in range(d.ndim):
+                try:
+                    proxy = d.dims[i]
+                    if len(proxy) > 0:
+                        label = list(proxy)[0]  # scale label (string)
+                        if label:
+                            dims.append(label.split("/")[-1])
+                        else:
+                            dims.append(proxy[0].name.split("/")[-1])
                     else:
                         dims.append(f"{name}_dim{i}")
-            except Exception:
-                dims = [f"{name}_dim{i}" for i in range(d.ndim)]
+                except Exception:
+                    dims.append(f"{name}_dim{i}")
             vals = _apply_cf(d[...], attrs)
             base = name.split("/")[-1]
             arr = DataArray(tuple(dims), vals, attrs)

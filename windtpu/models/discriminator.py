@@ -27,15 +27,30 @@ from windtpu.models import layers as L
 
 
 def _pyramid_sizes(size: int):
-    """Static per-stage spatial sizes for the three conv pyramids."""
+    """Static per-stage spatial sizes for the three conv pyramids.
+
+    Raises for image sizes whose pyramid collapses to zero pixels (e.g. 16,
+    where stage 2 would need a 7x7 conv on a 4px map) — the reference fails
+    there too, but with an opaque Keras shape error.
+    """
+    def _step(size, kernel, stride, pad):
+        out = (size + 2 * pad - kernel) // stride + 1
+        if out <= 0:
+            raise ValueError(
+                f"discriminator pyramid collapses at spatial size {size} "
+                f"(conv {kernel}x{kernel}/s{stride} would output {out}px); "
+                "choose an image size whose pyramid stays positive, e.g. "
+                "24, 32, 48, 96")
+        return out
+
     stage1 = []
     while size >= 16:
-        out = (size + 2 - 7) // 3 + 1
+        out = _step(size, 7, 3, 1)
         stage1.append((size, out))
         size = out
     stage2 = []
     while size >= 4:
-        out = (size + 2 - 7) // 3 + 1
+        out = _step(size, 7, 3, 1)
         stage2.append((size, out))
         size = out
     stage3 = []

@@ -84,6 +84,10 @@ class Generator(nn.Module):
                                     padding="SAME", use_spectral_norm=False,
                                     dtype=dtype, name="up2")(x)
         else:
+            # The reference's narrow-feature branch (gan/models.py:67-68)
+            # never upsamples back to full resolution, so its own shape
+            # assert would fail — dead code.  Here: upsample, then conv.
+            x = L.bilinear_upsample_2x(x)
             x = L.TimeConv(cfg.out_channels, (3, 3), padding="SAME",
                            use_spectral_norm=False, dtype=dtype,
                            name="up2_conv")(x)

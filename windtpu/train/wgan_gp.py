@@ -1,0 +1,245 @@
+"""WGAN-GP optimization step — ONE jitted program per step.
+
+The reference executes its train step op-by-op in TF eager-ish graph mode
+(gan/ganbase.py:21-94): 3 critic updates (gradient penalty on
+eps-interpolates + instance-noised real/fake scoring + Adam), then one
+generator update, then a metric recompute pass.  Here the entire body —
+including the grad-of-grad for the penalty and both optimizer updates —
+compiles to a single XLA program.  Data parallelism is free: shard the
+batch over the mesh's ``data`` axis and XLA inserts the grad psums.
+
+Semantics preserved from the reference:
+
+* critic trains ``n_critic`` times per generator update (ganbase.py:26);
+* the GP norm reduces over axes (1, 2, 3), leaving per-channel norms
+  (ganbase.py:36) — see losses.gradient_penalty_from_grads;
+* instance noise (fresh IID noise, std = noise_std, out_channels wide) is
+  added to BOTH discriminator inputs when scoring (ganbase.py:40-43);
+* generator/discriminator batch-norm + spectral-norm state updates occur on
+  every training=True forward, exactly where Keras would update them;
+* the returned scalar dict uses the reference's metric names
+  (ganbase.py:75-94).
+
+One deliberate fix (flagged): in the reference the gradient penalty is
+computed OUTSIDE the parameter GradientTape (ganbase.py:32-45), so it
+contributes ZERO gradient to the critic — the shipped training loop is
+WGAN + instance noise only, with the GP merely logged.  ``detach_gp=True``
+in TrainConfig replicates that; the default trains a real WGAN-GP.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from windtpu.core.config import GANConfig
+from windtpu.metrics import metrics as M
+from windtpu.models.discriminator import Discriminator
+from windtpu.models.generator import Generator
+from windtpu.train import optim
+from windtpu.train.losses import (
+    discriminator_loss,
+    generator_adversarial_loss,
+    gradient_penalty_from_grads,
+)
+from windtpu.train.state import GANTrainState
+
+
+def _tensor_mean_sq(grads) -> jax.Array:
+    """mean over tensors of mean(g^2) — the reference's gradient diagnostic
+    (ganbase.py:80-81)."""
+    leaves = jax.tree_util.tree_leaves(grads)
+    return jnp.mean(jnp.stack([jnp.mean(g.astype(jnp.float32) ** 2)
+                               for g in leaves]))
+
+
+def make_train_step(
+    cfg: GANConfig,
+    feature_fn: Optional[Callable[[jax.Array], jax.Array]] = None,
+    detach_gp: Optional[bool] = None,
+):
+    """Build the jitted (state, low_res, high_res, rng) -> (state, metrics)
+    step.
+
+    ``feature_fn`` maps a (B, T, H, W, 2) field to (B, T, latent) perceptual
+    features for the optional reconstruction loss (gan/train.py:19-26).
+    """
+    mcfg, tcfg = cfg.model, cfg.train
+    model_g = Generator(mcfg)
+    model_d = Discriminator(mcfg)
+    g_tx = optim.generator_optimizer(tcfg)
+    d_tx = optim.discriminator_optimizer(tcfg)
+    use_reco = feature_fn is not None and tcfg.reconstruction_coefficient > 0
+    _detach_gp = getattr(tcfg, "detach_gp", False) if detach_gp is None else detach_gp
+
+    def g_fwd(g_params, g_state, lr, noise, train):
+        variables = {"params": g_params, "batch_stats": g_state[0],
+                     "spectral_stats": g_state[1]}
+        if train:
+            out, mut = model_g.apply(
+                variables, lr, noise, train=True,
+                mutable=["batch_stats", "spectral_stats"])
+            return out, (mut["batch_stats"], mut["spectral_stats"])
+        return model_g.apply(variables, lr, noise, train=False), g_state
+
+    def d_fwd(d_params, d_sp, lr, hr, train):
+        variables = {"params": d_params, "spectral_stats": d_sp}
+        if train:
+            out, mut = model_d.apply(variables, lr, hr, train=True,
+                                     mutable=["spectral_stats"])
+            return out, mut["spectral_stats"]
+        return model_d.apply(variables, lr, hr, train=False), d_sp
+
+    def train_step(state: GANTrainState, low_res, high_res, rng):
+        b = low_res.shape[0]
+        t, i = mcfg.sequence_length, mcfg.image_size
+        noise_shape = (b, t, i, i, mcfg.noise_channels)
+        inst_shape = (b, t, i, i, mcfg.out_channels)
+        rng = jax.random.fold_in(rng, state.step)
+
+        g_params = state.g_params
+        g_state = (state.g_batch_stats, state.g_spectral)
+        g_opt = state.g_opt_state
+        d_params, d_sp, d_opt = state.d_params, state.d_spectral, state.d_opt_state
+
+        gp_mean_norm = jnp.zeros(())
+        d_loss_val = jnp.zeros(())
+        d_grad_diag = jnp.zeros(())
+
+        # ---- critic updates (unrolled; n_critic is static) -------------------
+        for critic_iter in range(tcfg.n_critic):
+            k = jax.random.fold_in(rng, critic_iter)
+            k_noise, k_eps, k_ir, k_if = jax.random.split(k, 4)
+            noise = tcfg.noise_std * jax.random.normal(k_noise, noise_shape)
+            fake, g_state = g_fwd(g_params, g_state, low_res, noise, True)
+            fake = jax.lax.stop_gradient(fake)
+            eps = jax.random.uniform(k_eps, (b, 1, 1, 1, 1))
+            mixed = eps * high_res + (1.0 - eps) * fake
+            inst_r = tcfg.noise_std * jax.random.normal(k_ir, inst_shape)
+            inst_f = tcfg.noise_std * jax.random.normal(k_if, inst_shape)
+
+            def d_loss_fn(dp, d_sp):
+                # Gradient penalty: differentiate the critic w.r.t. its
+                # image input (grad-of-grad w.r.t. dp when this whole
+                # function is differentiated).
+                def critic_on_image(x):
+                    scores, sp = d_fwd(dp, d_sp, low_res, x, True)
+                    return jnp.sum(scores), sp
+
+                grads_img, d_sp1 = jax.grad(
+                    critic_on_image, has_aux=True)(mixed)
+                penalty, mean_norm = gradient_penalty_from_grads(
+                    grads_img, tcfg.gp_weight)
+                if _detach_gp:
+                    penalty = jax.lax.stop_gradient(penalty)
+                rs, d_sp2 = d_fwd(dp, d_sp1, low_res, high_res + inst_r, True)
+                fs, d_sp3 = d_fwd(dp, d_sp2, low_res, fake + inst_f, True)
+                loss = discriminator_loss(rs, fs) + penalty
+                return loss, (d_sp3, mean_norm)
+
+            (d_loss_val, (d_sp, gp_mean_norm)), d_grads = jax.value_and_grad(
+                d_loss_fn, has_aux=True)(d_params, d_sp)
+            d_updates, d_opt = d_tx.update(d_grads, d_opt, d_params)
+            d_params = jax.tree_util.tree_map(
+                lambda p, u: p + u, d_params, d_updates)
+            d_grad_diag = _tensor_mean_sq(d_grads)
+
+        # ---- generator update -------------------------------------------------
+        k_gen = jax.random.fold_in(rng, 1000)
+        noise = tcfg.noise_std * jax.random.normal(k_gen, noise_shape)
+
+        def g_loss_fn(gp, g_state, d_sp):
+            fake, g_state_new = g_fwd(gp, g_state, low_res, noise, True)
+            scores, d_sp_new = d_fwd(d_params, d_sp, low_res, fake, True)
+            adv = generator_adversarial_loss(scores)
+            reco = jnp.zeros(())
+            if use_reco:
+                delta = (feature_fn(low_res[..., :2]) - feature_fn(fake))
+                reco = tcfg.reconstruction_coefficient * jnp.mean(
+                    jnp.sqrt(jnp.sum(delta**2, axis=-1)))
+            return adv + reco, (g_state_new, d_sp_new, adv, reco)
+
+        (g_loss_val, (g_state, d_sp, g_adv, g_reco)), g_grads = (
+            jax.value_and_grad(g_loss_fn, has_aux=True)(
+                g_params, g_state, d_sp))
+        g_updates, g_opt = g_tx.update(g_grads, g_opt, g_params)
+        g_params = jax.tree_util.tree_map(
+            lambda p, u: p + u, g_params, g_updates)
+        g_grad_diag = _tensor_mean_sq(g_grads)
+
+        # ---- metric recompute, training=False (ganbase.py:63-72) -------------
+        metrics = {
+            "g_loss": g_loss_val,
+            "g_disc_loss": g_adv,
+            "g_reco_loss": g_reco,
+            "d_gradient_pen": gp_mean_norm,
+            "g_gradient_param": g_grad_diag,
+            "d_gradient_param": d_grad_diag,
+        }
+        if tcfg.compute_metrics:
+            k_eval = jax.random.fold_in(rng, 2000)
+            noise_e = tcfg.noise_std * jax.random.normal(k_eval, noise_shape)
+            hr_score, _ = d_fwd(d_params, d_sp, low_res, high_res, False)
+            fake_e, _ = g_fwd(g_params, g_state, low_res, noise_e, False)
+            fk_score, _ = d_fwd(d_params, d_sp, low_res, fake_e, False)
+            metrics.update({
+                "d_loss": discriminator_loss(hr_score, fk_score),
+                "d_real": jnp.mean(hr_score),
+                "d_fake": jnp.mean(fk_score),
+                "g_acd": jnp.mean(M.angular_cosine_distance(high_res, fake_e)),
+                "g_lsd": jnp.mean(M.log_spectral_distance(high_res, fake_e)),
+                "g_extreme_rmse": jnp.mean(
+                    M.extreme_weighted_rmse(high_res, fake_e)),
+                "g_ws_weighted_rmse": jnp.mean(
+                    M.wind_speed_weighted_rmse(high_res, fake_e)),
+                "g_ws_rmse": jnp.mean(M.wind_speed_rmse(high_res, fake_e)),
+            })
+            if tcfg.compute_spatial_ks:
+                metrics["g_spatial_ks"] = M.spatial_ks_scalar(high_res, fake_e)
+        else:
+            metrics["d_loss"] = d_loss_val
+
+        new_state = state.replace(
+            step=state.step + 1,
+            g_params=g_params, g_batch_stats=g_state[0], g_spectral=g_state[1],
+            g_opt_state=g_opt,
+            d_params=d_params, d_spectral=d_sp, d_opt_state=d_opt,
+        )
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_eval_step(cfg: GANConfig):
+    """Jitted test step (reference ganbase.py:96-113): critic loss on real
+    vs generated + generator metric suite."""
+    mcfg, tcfg = cfg.model, cfg.train
+    model_g = Generator(mcfg)
+    model_d = Discriminator(mcfg)
+
+    def eval_step(state: GANTrainState, low_res, high_res, rng):
+        b = low_res.shape[0]
+        t, i = mcfg.sequence_length, mcfg.image_size
+        noise = tcfg.noise_std * jax.random.normal(
+            rng, (b, t, i, i, mcfg.noise_channels))
+        g_vars = state.g_variables()
+        d_vars = state.d_variables()
+        true_scores = model_d.apply(d_vars, low_res, high_res, train=False)
+        generated = model_g.apply(g_vars, low_res, noise, train=False)
+        fake_scores = model_d.apply(d_vars, low_res, generated, train=False)
+        return {
+            "loss": discriminator_loss(true_scores, fake_scores),
+            "d_real": jnp.mean(true_scores),
+            "d_fake": jnp.mean(fake_scores),
+            "g_acd": jnp.mean(M.angular_cosine_distance(high_res, generated)),
+            "g_lsd": jnp.mean(M.log_spectral_distance(high_res, generated)),
+            "g_extreme_rmse": jnp.mean(
+                M.extreme_weighted_rmse(high_res, generated)),
+            "g_ws_weighted_rmse": jnp.mean(
+                M.wind_speed_weighted_rmse(high_res, generated)),
+            "g_ws_rmse": jnp.mean(M.wind_speed_rmse(high_res, generated)),
+        }
+
+    return jax.jit(eval_step)
