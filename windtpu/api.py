@@ -1,0 +1,157 @@
+"""Inference API: ERA5 + DEM -> downscaled 1-km wind fields.
+
+Same surface as the reference (api.py:31-160): ``downscale`` /
+``predict`` / ``process_era5`` / ``process_topo`` /
+``build_high_res_template_from_era5`` / ``get_network`` — operating on
+:mod:`windtpu.io` datasets, with the compute re-designed as the on-device
+tiled engine (windtpu.infer.engine).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+
+from windtpu.core.config import GANConfig, InferenceConfig, ModelConfig, TrainConfig
+from windtpu.infer.engine import make_tiled_predictor
+from windtpu.infer.template import (
+    build_high_res_template_from_era5,
+    process_era5,
+    process_topo,
+)
+from windtpu.infer.tiling import plan_tiling
+from windtpu.io.dataset import DataArray, Dataset
+
+# Shipped-model constants (reference api.py:22-28).
+SEQUENCE_LENGTH = 24
+IMG_SIZE = 96
+BATCH_SIZE = 8
+NOISE_CHANNELS = 20
+NOISE_STD = 0.1
+NB_INPUTS = 3
+NB_OUTPUTS = 2
+
+# Environment override for pretrained weights (the reference bundles
+# weights-55.ckpt with the wheel, api.py:21; our equivalent is an Orbax
+# checkpoint directory).
+WEIGHTS_ENV = "WINDTPU_WEIGHTS"
+
+
+def flagship_config() -> GANConfig:
+    return GANConfig(
+        model=ModelConfig(
+            image_size=IMG_SIZE, in_channels=NB_INPUTS,
+            noise_channels=NOISE_CHANNELS, out_channels=NB_OUTPUTS,
+            sequence_length=SEQUENCE_LENGTH),
+        train=TrainConfig(batch_size=BATCH_SIZE, noise_std=NOISE_STD),
+    )
+
+
+def get_network(weights_path: Optional[str] = None):
+    """Build the flagship GAN and load pretrained weights if available.
+
+    Weight resolution order: explicit argument, $WINDTPU_WEIGHTS, none
+    (random init, with a warning — the reference's bundled weights-55
+    checkpoint ships only index files in this environment)."""
+    from windtpu.network import WindDownscalingGAN
+
+    print("Loading network...")
+    gan = WindDownscalingGAN(flagship_config())
+    weights = weights_path or os.environ.get(WEIGHTS_ENV)
+    if weights:
+        gan.load_weights(weights)
+    else:
+        print("warning: no pretrained weights found (set $WINDTPU_WEIGHTS); "
+              "using random initialization")
+    return gan
+
+
+def predict(
+    inputs_era5: Dataset,
+    inputs_topo: Dataset,
+    high_res_template: Dataset,
+    overlap_factor: float = 0.05,
+    network=None,
+    key: Optional[jax.Array] = None,
+    ensemble_members: int = 1,
+) -> Dataset:
+    """Tile the merged (u10, v10, elevation) field into
+    24 x 96 x 96 cubes, run the generator with fresh noise, stitch with
+    overlap averaging — all in one jitted program on device
+    (replaces reference api.py:89-152)."""
+    network = network if network is not None else get_network()
+    mcfg = network.cfg.model
+    icfg = InferenceConfig(
+        sequence_length=mcfg.sequence_length, image_size=mcfg.image_size,
+        noise_channels=mcfg.noise_channels, noise_std=NOISE_STD,
+        overlap_factor=overlap_factor)
+
+    time_vals = inputs_era5.coords["time"].values
+    lat = inputs_era5.coords["lat_1"].values
+    lon = inputs_era5.coords["lon_1"].values
+
+    u10 = np.asarray(inputs_era5["u10"].values, np.float32)
+    v10 = np.asarray(inputs_era5["v10"].values, np.float32)
+    elev = np.asarray(inputs_topo["elevation"].values, np.float32) / 1e3
+    elev_t = np.broadcast_to(elev, u10.shape)
+    field = np.stack([u10, v10, elev_t], axis=-1)  # (T, lat, lon, 3)
+
+    t_total, h, w = field.shape[:3]
+    plan = plan_tiling(h, w, t_total, icfg.image_size, icfg.sequence_length,
+                       overlap_factor)
+    print(f"Applying model to {plan.num_patches} patches")
+    predictor = make_tiled_predictor(mcfg, icfg, plan)
+    key = key if key is not None else jax.random.key(0)
+    if ensemble_members > 1:
+        keys = jax.random.split(key, ensemble_members)
+        preds, _ = jax.vmap(predictor, in_axes=(None, None, 0))(
+            network.generator_variables, field, keys)
+        pred = np.asarray(jax.device_get(preds))
+        member_axis = True
+    else:
+        pred, _ = predictor(network.generator_variables, field, key)
+        pred = np.asarray(jax.device_get(pred))
+        member_axis = False
+
+    covered_t = plan.num_time_chunks * icfg.sequence_length
+    pred = pred[..., :covered_t, :, :, :] if member_axis \
+        else pred[:covered_t]
+    coords = {
+        "time": DataArray(("time",), time_vals[:covered_t]),
+        "lat_1": DataArray(("lat_1",), lat),
+        "lon_1": DataArray(("lon_1",), lon),
+    }
+    dims = ("time", "lat_1", "lon_1")
+    if member_axis:
+        coords["member"] = DataArray(
+            ("member",), np.arange(ensemble_members))
+        dims = ("member",) + dims
+        pred = pred[:, :covered_t]
+    data_vars = {
+        "u10": DataArray(dims, pred[..., 0]),
+        "v10": DataArray(dims, pred[..., 1]),
+    }
+    return Dataset(data_vars, coords)
+
+
+def downscale(
+    era5: Dataset,
+    raster_topo: Dataset,
+    range_lon: Optional[Tuple[float, float]] = None,
+    range_lat: Optional[Tuple[float, float]] = None,
+    overlap_factor: float = 0.05,
+    network=None,
+    **predict_kwargs,
+) -> Dataset:
+    """ERA5 dataset + DEM raster + bbox -> downscaled NetCDF-ready dataset
+    (reference api.py:155-160)."""
+    template = build_high_res_template_from_era5(
+        era5, range_lon=range_lon, range_lat=range_lat)
+    inputs_era5 = process_era5(era5, template)
+    inputs_topo = process_topo(raster_topo, template)
+    return predict(inputs_era5, inputs_topo, template,
+                   overlap_factor=overlap_factor, network=network,
+                   **predict_kwargs)

@@ -1,0 +1,145 @@
+"""Console entry points.
+
+``downscale`` keeps the reference CLI contract exactly
+(cli.py:9-26 / setup.py:14): ``--era --dem --date --lon --lat -o``,
+reading ``{date}*surface*.nc`` ERA5 files and a GeoTIFF DEM, writing a
+NetCDF of downscaled u10/v10.  ``windtpu-train`` and ``windtpu-prepare``
+are new: the reference ships no training driver or preprocessing CLI.
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        description="Downscale ERA5 wind fields to ~1 km")
+    parser.add_argument("--era", required=True,
+                        help="path to folder with ERA5 data")
+    parser.add_argument("--dem", required=True, help="path to DEM data file")
+    parser.add_argument("--date", required=True,
+                        help="date to downscale in YYYYMMDD format")
+    parser.add_argument("--lon", default=None,
+                        help="longitude range (ex: 45.6:46.2)")
+    parser.add_argument("--lat", default=None,
+                        help="latitude range (ex: 45.6:46.2)")
+    parser.add_argument("-o", "--output", default="downscaled.nc",
+                        help="output path for the downscaled map (*.nc)")
+    parser.add_argument("--weights", default=None,
+                        help="Orbax checkpoint with trained weights")
+    parser.add_argument("--ensemble", type=int, default=1,
+                        help="number of stochastic ensemble members")
+    parser.add_argument("--overlap-factor", type=float, default=0.01)
+    args = parser.parse_args(argv)
+
+    from windtpu import api
+    from windtpu.io.dataset import open_mfdataset
+    from windtpu.io.geotiff import open_rasterio
+
+    longitude_r = tuple(map(float, args.lon.split(":"))) if args.lon else None
+    latitude_r = tuple(map(float, args.lat.split(":"))) if args.lat else None
+
+    era5 = open_mfdataset(str(Path(args.era) / f"{args.date}*surface*.nc"))
+    raster = open_rasterio(args.dem)
+    network = api.get_network(args.weights)
+    result = api.downscale(
+        era5, raster, range_lon=longitude_r, range_lat=latitude_r,
+        overlap_factor=args.overlap_factor, network=network,
+        ensemble_members=args.ensemble)
+    result.to_netcdf(args.output)
+    print(f"wrote {args.output}")
+
+
+def train_main(argv=None):
+    parser = argparse.ArgumentParser(description="Train the downscaling GAN")
+    parser.add_argument("--inputs", required=True,
+                        help="dir with x_{date}.nc training inputs")
+    parser.add_argument("--outputs", required=True,
+                        help="dir with y_{date}.nc training targets")
+    parser.add_argument("--checkpoint-dir", required=True)
+    parser.add_argument("--steps", type=int, default=1000)
+    parser.add_argument("--batch-size", type=int, default=16)
+    parser.add_argument("--patch-size", type=int, default=32)
+    parser.add_argument("--sequence-length", type=int, default=6)
+    parser.add_argument("--start-date", default=None)
+    parser.add_argument("--end-date", default=None)
+    parser.add_argument("--synthetic", action="store_true",
+                        help="train on synthetic data (smoke test)")
+    parser.add_argument("--checkpoint-every", type=int, default=200)
+    parser.add_argument("--profile-dir", default=None)
+    args = parser.parse_args(argv)
+
+    import dataclasses
+
+    from windtpu.core.config import DataConfig, GANConfig, ModelConfig, TrainConfig
+    from windtpu.core.mesh import make_mesh
+    from windtpu.data import BatchGenerator, LocalFileProvider, SyntheticDayProvider
+    from windtpu.train.loop import train
+
+    dcfg = DataConfig(sequence_length=args.sequence_length,
+                      patch_size=args.patch_size,
+                      batch_size=args.batch_size)
+    cfg = GANConfig(
+        model=ModelConfig(image_size=args.patch_size,
+                          in_channels=len(dcfg.input_variables),
+                          sequence_length=args.sequence_length),
+        train=TrainConfig(batch_size=args.batch_size),
+        data=dcfg,
+        checkpoint_dir=args.checkpoint_dir,
+    )
+    if args.synthetic:
+        dates = [f"2020010{i}" for i in range(1, 8)]
+        in_prov = SyntheticDayProvider(dates, dcfg.input_variables,
+                                       ny=64, nx=64, nt=24)
+        out_prov = SyntheticDayProvider(dates, dcfg.output_variables,
+                                        ny=64, nx=64, nt=24, seed=7)
+    else:
+        in_prov = LocalFileProvider(args.inputs, "x_{date}.nc")
+        out_prov = LocalFileProvider(args.outputs, "y_{date}.nc")
+    bg = BatchGenerator(in_prov, output_provider=out_prov,
+                        start_date=args.start_date, end_date=args.end_date,
+                        config=dcfg, num_workers=2)
+    mesh = make_mesh()
+    state, _ = train(cfg, bg.as_device_iterator(mesh), num_steps=args.steps,
+                     checkpoint_every=args.checkpoint_every,
+                     profile_dir=args.profile_dir)
+    print(f"done at step {int(state.step)}")
+
+
+def prepare_main(argv=None):
+    parser = argparse.ArgumentParser(
+        description="Preprocess DEM + ERA5 + COSMO into daily training files")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p_topo = sub.add_parser("topo", help="DEM -> topographic descriptors")
+    p_topo.add_argument("--dem", required=True)
+
+    p_daily = sub.add_parser("daily", help="build daily x_/y_ NetCDF files")
+    p_daily.add_argument("--processed", required=True)
+    p_daily.add_argument("--era5", required=True)
+    p_daily.add_argument("--cosmo", required=True)
+    p_daily.add_argument("--dem-dir", required=True)
+    p_daily.add_argument("--start", required=True)
+    p_daily.add_argument("--end", required=True)
+    p_daily.add_argument("--blurred", action="store_true",
+                         help="COSMO-blurred self-downscaling variant")
+
+    args = parser.parse_args(argv)
+    from windtpu.preprocess import daily, topo
+
+    if args.cmd == "topo":
+        topo.process_topographic_variables_file(args.dem)
+    else:
+        if args.blurred:
+            daily.process_imgs_cosmoblurred(
+                args.processed, args.cosmo, args.dem_dir, args.start,
+                args.end)
+        else:
+            daily.process_imgs(args.processed, args.era5, args.cosmo,
+                               args.dem_dir, args.start, args.end)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,211 @@
+"""Tiled inference engine — the "render" path, fully on-device.
+
+The reference's predict (api.py:89-152) is host-bound: it materializes every
+patch as numpy, calls Keras predict per group of 16 (device round-trip per
+group), then stitches overlaps by exploding every pixel into a pandas
+DataFrame row and group-by-averaging.  Here the whole thing is ONE jitted
+XLA program over the full (T, H, W, C) field held in HBM:
+
+  pass 1  scan over patch groups: accumulate normalization statistics
+          (nan-aware sum / sum-of-squares), matching the reference's
+          normalization over the stacked patch tensor;
+  pass 2  scan over patch groups: gather patches with dynamic_slice,
+          normalize, run the generator with fresh per-group noise, crop the
+          2-px border, and scatter-add predictions + coverage counts into a
+          canvas; finally divide -> overlap mean.
+
+No pandas, no per-patch host sync; patch extraction is a strided gather and
+stitching is a dynamic-update-slice accumulation that XLA fuses.
+
+Quirks handled:
+
+* ``replicate_normalization_quirk`` (InferenceConfig): the reference
+  normalizes the 5-D stacked patch tensor over axes (0, 1, 2) =
+  (patch, time, lat), i.e. per-(lon, channel) statistics (api.py:128-129).
+  True replicates; False uses per-channel stats over all patch pixels.
+* Patch rows are fed to the model in reversed (descending-index) order and
+  un-reversed on output, matching the reference's lat-reversed slices
+  (api.py:119).  The reference's ``sy == 0`` branch is off by one (it takes
+  rows 1..96 instead of 0..95); we use the correct rows and document the
+  divergence — row 0 of the domain is covered here, dropped there.
+
+Ensemble generation: ``ensemble_keys`` vmaps members over fresh noise; on a
+mesh with an ``ensemble`` axis each member lands on its own device
+(BASELINE config 4: one stochastic member per core).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from windtpu.core.config import InferenceConfig, ModelConfig
+from windtpu.infer.tiling import TilingPlan, plan_tiling
+from windtpu.models.generator import Generator
+
+
+def _pad_to_multiple(arr: np.ndarray, multiple: int):
+    n = arr.shape[0]
+    pad = (-n) % multiple
+    if pad:
+        arr = np.concatenate([arr, np.repeat(arr[-1:], pad, axis=0)], axis=0)
+    weights = np.concatenate([np.ones(n, np.float32),
+                              np.zeros(pad, np.float32)])
+    return arr, weights
+
+
+def make_tiled_predictor(
+    mcfg: ModelConfig,
+    icfg: InferenceConfig,
+    plan: TilingPlan,
+    apply_fn=None,
+):
+    """Build a jitted (g_vars, field, key) -> (prediction, counts) function.
+
+    ``field``: (T, H, W, in_channels) float32, already merged
+    (u10, v10, elevation/1e3) on the high-res grid.
+    ``prediction``: (T, H, W, out_channels) with NaN where no patch
+    contributed (after border cropping).
+    ``apply_fn(g_vars, patches, noise) -> preds`` defaults to the Generator
+    forward; injectable for testing the tiling/stitch path in isolation.
+    """
+    img = plan.image_size
+    seq = plan.sequence_length
+    crop = icfg.border_crop
+    group = icfg.group_size
+    if apply_fn is None:
+        model = Generator(mcfg)
+        apply_fn = lambda v, x, n: model.apply(v, x, n, train=False)  # noqa: E731
+
+    origins_np = plan.patch_origins()  # (N, 3): sx, sy, time_chunk
+    origins_np = origins_np[:, [0, 1, 2]].astype(np.int32)
+    origins_np, weights_np = _pad_to_multiple(origins_np, group)
+    num_groups = origins_np.shape[0] // group
+    origins_g = origins_np.reshape(num_groups, group, 3)
+    weights_g = weights_np.reshape(num_groups, group)
+
+    def gather_patch(field, origin):
+        sx, sy, k = origin[0], origin[1], origin[2]
+        patch = jax.lax.dynamic_slice(
+            field, (k * seq, sy, sx, 0),
+            (seq, img, img, field.shape[-1]))
+        return patch[:, ::-1, :, :]  # lat-reversed rows (api.py:119)
+
+    def stats_pass(field):
+        """nan-aware mean/std of the stacked patch tensor."""
+        # Group tensor axes: (patch, time, lat, lon, channel).  The quirk
+        # reduces over (patch, time, lat) -> per-(lon, channel) stats
+        # (api.py:128-129); the fixed mode also reduces lon.
+        reduce_axes = (0, 1, 2) if icfg.replicate_normalization_quirk \
+            else (0, 1, 2, 3)
+
+        def body(carry, grp):
+            origins, w = grp
+            patches = jax.vmap(lambda o: gather_patch(field, o))(origins)
+            # (G, T, img, img, C); mask padded patches out of the stats.
+            mask = (~jnp.isnan(patches)).astype(jnp.float32)
+            mask = mask * w[:, None, None, None, None]
+            vals = jnp.where(jnp.isnan(patches), 0.0, patches)
+            s, s2, n = carry
+            s = s + jnp.sum(vals * mask, axis=reduce_axes)
+            s2 = s2 + jnp.sum(vals * vals * mask, axis=reduce_axes)
+            n = n + jnp.sum(mask, axis=reduce_axes)
+            return (s, s2, n), None
+
+        c = field.shape[-1]
+        stat_shape = (img, c) if icfg.replicate_normalization_quirk else (c,)
+        init = (jnp.zeros(stat_shape), jnp.zeros(stat_shape),
+                jnp.zeros(stat_shape))
+        (s, s2, n), _ = jax.lax.scan(
+            body, init, (jnp.asarray(origins_g), jnp.asarray(weights_g)))
+        mean = s / jnp.maximum(n, 1.0)
+        var = jnp.maximum(s2 / jnp.maximum(n, 1.0) - mean**2, 0.0)
+        return mean, jnp.sqrt(var)
+
+    def predict(g_vars, field, key):
+        t_total, h, w_pix, _ = field.shape
+        mean, std = stats_pass(field)
+        std = jnp.where(std == 0, 1.0, std)
+
+        canvas = jnp.zeros((t_total, h, w_pix, mcfg.out_channels))
+        counts = jnp.zeros((t_total, h, w_pix, 1))
+
+        def group_body(carry, inp):
+            canvas, counts = carry
+            g_idx, origins, w = inp
+            patches = jax.vmap(lambda o: gather_patch(field, o))(origins)
+            normalized = (patches - mean) / std
+            noise = icfg.noise_std * jax.random.normal(
+                jax.random.fold_in(key, g_idx),
+                (group, seq, img, img, mcfg.noise_channels))
+            preds = apply_fn(g_vars, normalized, noise)
+            # Crop borders, un-reverse rows, weight out padded patches.
+            preds = preds[:, :, ::-1, :, :]  # back to ascending rows
+            preds = preds[:, :, crop:img - crop, crop:img - crop, :]
+            preds = preds * w[:, None, None, None, None]
+
+            def add_one(i, cc):
+                canvas, counts = cc
+                sx, sy, k = origins[i, 0], origins[i, 1], origins[i, 2]
+                at = (k * seq, sy + crop, sx + crop, 0)
+                size = (seq, img - 2 * crop, img - 2 * crop,
+                        mcfg.out_channels)
+                cur = jax.lax.dynamic_slice(canvas, at, size)
+                canvas = jax.lax.dynamic_update_slice(
+                    canvas, cur + preds[i], at)
+                cat = (k * seq, sy + crop, sx + crop, 0)
+                csize = size[:-1] + (1,)
+                ccur = jax.lax.dynamic_slice(counts, cat, csize)
+                counts = jax.lax.dynamic_update_slice(
+                    counts, ccur + w[i], cat)
+                return canvas, counts
+
+            canvas, counts = jax.lax.fori_loop(
+                0, group, add_one, (canvas, counts))
+            return (canvas, counts), None
+
+        xs = (jnp.arange(num_groups, dtype=jnp.int32),
+              jnp.asarray(origins_g), jnp.asarray(weights_g))
+        (canvas, counts), _ = jax.lax.scan(
+            group_body, (canvas, counts), xs)
+        out = jnp.where(counts > 0, canvas / jnp.maximum(counts, 1.0),
+                        jnp.nan)
+        return out, counts[..., 0]
+
+    return jax.jit(predict)
+
+
+def downscale_field(
+    g_vars,
+    field: jax.Array,                # (T, H, W, in_channels)
+    mcfg: ModelConfig,
+    icfg: Optional[InferenceConfig] = None,
+    key: Optional[jax.Array] = None,
+    plan: Optional[TilingPlan] = None,
+    ensemble_keys: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, TilingPlan]:
+    """Tile + predict + stitch a full field.  Returns (prediction, plan).
+
+    With ``ensemble_keys`` (shape (M,)) the result gains a leading member
+    axis — one stochastic downscaling per key, vmapped so an ``ensemble``
+    mesh axis can place one member per device.
+    """
+    icfg = icfg or InferenceConfig(
+        sequence_length=mcfg.sequence_length, image_size=mcfg.image_size,
+        noise_channels=mcfg.noise_channels)
+    t, h, w, _ = field.shape
+    if plan is None:
+        plan = plan_tiling(h, w, t, icfg.image_size, icfg.sequence_length,
+                           icfg.overlap_factor)
+    predictor = make_tiled_predictor(mcfg, icfg, plan)
+    if ensemble_keys is not None:
+        preds, _ = jax.vmap(predictor, in_axes=(None, None, 0))(
+            g_vars, field, ensemble_keys)
+        return preds, plan
+    key = key if key is not None else jax.random.key(0)
+    pred, _ = predictor(g_vars, field, key)
+    return pred, plan

@@ -355,8 +355,14 @@ def _open_h5(path) -> Dataset:
                                   "CLASS", "NAME", "_Netcdf4Dimid",
                                   "_Netcdf4Coordinates")}
             # Determine dims via dimension scales.
+            base0 = name.split("/")[-1]
+            is_scale0 = d.attrs.get("CLASS") == b"DIMENSION_SCALE"
             dims = []
             for i in range(d.ndim):
+                if is_scale0 and d.ndim == 1:
+                    # A dimension scale IS its own dimension.
+                    dims.append(base0)
+                    continue
                 try:
                     proxy = d.dims[i]
                     if len(proxy) > 0:

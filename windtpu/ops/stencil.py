@@ -1,0 +1,143 @@
+"""Terrain descriptor stencils as on-device convolutions.
+
+The reference computes DEM descriptors on the host with the MeteoSwiss
+``topo_descriptors`` package (data_processing.py:49-58: TPI at 500 m and
+smoothed gradients -> we/sn derivatives, slope, aspect).  Here each
+descriptor is a fixed convolution stencil executed by XLA on the TPU
+(BASELINE.json north star: "DEM slope/aspect/TPI descriptors computed as
+convolution kernels on-device"), so Alps-scale DEMs preprocess in
+milliseconds.
+
+Definitions (all stencils nan-aware via weighted convolution):
+
+* ``tpi(dem, scale_px)``     = dem - disc_mean(dem, diameter=scale_px)
+  (topographic position index: height relative to the neighbourhood mean).
+* ``gradient_descriptors``   : smooth the DEM with a disc mean of the
+  gradient scale, then central differences per meter ->
+  ``we_derivative`` (west->east, per meter), ``sn_derivative``
+  (south->north), ``slope = arctan(|∇z|)``,
+  ``aspect = arctan2(sn, we)`` — the mathematical angle of the uphill
+  gradient in the (east, north) wind-vector convention used by the
+  exposure predictors (data_processing.py:68-73).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _disc_kernel(diameter_px: float) -> np.ndarray:
+    """Binary disc of the given diameter (pixels), normalized later."""
+    r = max(float(diameter_px) / 2.0, 1.0)
+    n = int(np.ceil(r)) * 2 + 1
+    yy, xx = np.mgrid[:n, :n] - n // 2
+    return ((xx**2 + yy**2) <= r**2).astype(np.float32)
+
+
+def _conv2d_same(x: jax.Array, kernel: jax.Array) -> jax.Array:
+    """(H, W) x (kh, kw) SAME convolution on device."""
+    out = jax.lax.conv_general_dilated(
+        x[None, :, :, None], kernel[:, :, None, None],
+        window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return out[0, :, :, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("diameter_px",))
+def disc_mean(dem: jax.Array, diameter_px: int) -> jax.Array:
+    """NaN-aware mean over a disc neighbourhood (edge-normalized)."""
+    kernel = jnp.asarray(_disc_kernel(diameter_px))
+    valid = (~jnp.isnan(dem)).astype(jnp.float32)
+    filled = jnp.where(jnp.isnan(dem), 0.0, dem)
+    s = _conv2d_same(filled * valid, kernel)
+    n = _conv2d_same(valid, kernel)
+    return s / jnp.maximum(n, 1.0)
+
+
+@functools.partial(jax.jit, static_argnames=("scale_px",))
+def tpi(dem: jax.Array, scale_px: int) -> jax.Array:
+    """Topographic position index at the given pixel scale."""
+    return dem - disc_mean(dem, scale_px)
+
+
+@functools.partial(jax.jit, static_argnames=("scale_px",))
+def gradient_descriptors(
+    dem: jax.Array, scale_px: int, res_meters: Tuple[float, float]
+):
+    """(we_derivative, sn_derivative, slope, aspect) at the given scale.
+
+    ``res_meters`` = (meters per pixel along y/lat, along x/lon).
+    Row index increases southward for north-up rasters; the sn derivative
+    flips sign accordingly via the negative y resolution the caller passes.
+    """
+    smoothed = disc_mean(dem, max(int(scale_px), 1))
+    res_y, res_x = res_meters
+    # Central differences; replicate edges.
+    padded = jnp.pad(smoothed, 1, mode="edge")
+    ddx = (padded[1:-1, 2:] - padded[1:-1, :-2]) / (2.0 * res_x)
+    ddy = (padded[2:, 1:-1] - padded[:-2, 1:-1]) / (2.0 * res_y)
+    slope = jnp.arctan(jnp.sqrt(ddx**2 + ddy**2))
+    aspect = jnp.arctan2(ddy, ddx)
+    return ddx, ddy, slope, aspect
+
+
+def meters_per_pixel(lat: np.ndarray, lon: np.ndarray) -> Tuple[float, float]:
+    """Approximate (res_y, res_x) in meters for a lat/lon grid, negative
+    when the coordinate decreases with index (north-up rasters)."""
+    r_earth = 6371000.0
+    deg = np.pi / 180.0
+    dlat = float(lat[1] - lat[0]) if len(lat) > 1 else 1.0
+    dlon = float(lon[1] - lon[0]) if len(lon) > 1 else 1.0
+    mean_lat = float(np.mean(lat))
+    res_y = dlat * deg * r_earth
+    res_x = dlon * deg * r_earth * np.cos(mean_lat * deg)
+    return res_y, res_x
+
+
+def fill_nans(dem: jax.Array, iterations: int = 50) -> jax.Array:
+    """Iterative neighbour-mean NaN infill (reference helpers.fill_na role),
+    as a jitted while-free fori loop of 3x3 averaging passes."""
+    kernel = jnp.ones((3, 3), jnp.float32)
+
+    def body(_, d):
+        isnan = jnp.isnan(d)
+        valid = (~isnan).astype(jnp.float32)
+        filled = jnp.where(isnan, 0.0, d)
+        s = _conv2d_same(filled, kernel)
+        n = _conv2d_same(valid, kernel)
+        est = s / jnp.maximum(n, 1.0)
+        return jnp.where(isnan & (n > 0), est, d)
+
+    out = jax.lax.fori_loop(0, iterations, body, dem)
+    return jnp.where(jnp.isnan(out), jnp.nanmean(dem), out)
+
+
+def topographic_descriptors(
+    dem: jax.Array,
+    lat: np.ndarray,
+    lon: np.ndarray,
+    scale_meters: float = 500.0,
+) -> Dict[str, jax.Array]:
+    """Full descriptor set of the reference preprocessing
+    (data_processing.py:41-65): elevation, tpi_500, we/sn derivatives,
+    slope, aspect — computed on-device."""
+    res_y, res_x = meters_per_pixel(lat, lon)
+    scale_px = max(int(round(scale_meters / abs(res_x))), 1)
+    dem = fill_nans(jnp.asarray(dem, jnp.float32))
+    t = tpi(dem, scale_px)
+    grad_scale = max(int(round(scale_px / 4)), 1)
+    ddx, ddy, slope, aspect = gradient_descriptors(
+        dem, grad_scale, (res_y, res_x))
+    return {
+        "elevation": dem,
+        f"tpi_{int(scale_meters)}": t,
+        "we_derivative": ddx,
+        "sn_derivative": ddy,
+        "slope": slope,
+        "aspect": aspect,
+    }
