@@ -59,12 +59,20 @@ def make_train_step(
     cfg: GANConfig,
     feature_fn: Optional[Callable[[jax.Array], jax.Array]] = None,
     detach_gp: Optional[bool] = None,
+    pmean_axis: Optional[str] = None,
+    jit_wrap: bool = True,
 ):
     """Build the jitted (state, low_res, high_res, rng) -> (state, metrics)
     step.
 
     ``feature_fn`` maps a (B, T, H, W, 2) field to (B, T, latent) perceptual
     features for the optional reconstruction loss (gan/train.py:19-26).
+
+    ``pmean_axis``: when the step runs inside ``shard_map`` with the batch
+    sharded over that mesh axis, gradients and scalar metrics are pmean'ed
+    across it before the optimizer updates (explicit-collective DP; the
+    default sharded-jit path gets the same psums from XLA automatically).
+    ``jit_wrap=False`` returns the raw function for shard_map to wrap.
     """
     mcfg, tcfg = cfg.model, cfg.train
     model_g = Generator(mcfg)
@@ -98,6 +106,10 @@ def make_train_step(
         noise_shape = (b, t, i, i, mcfg.noise_channels)
         inst_shape = (b, t, i, i, mcfg.out_channels)
         rng = jax.random.fold_in(rng, state.step)
+        if pmean_axis is not None:
+            # Per-device noise streams under shard_map: distinct noise for
+            # each batch shard (eps, instance noise, generator noise).
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(pmean_axis))
 
         g_params = state.g_params
         g_state = (state.g_batch_stats, state.g_spectral)
@@ -141,6 +153,10 @@ def make_train_step(
 
             (d_loss_val, (d_sp, gp_mean_norm)), d_grads = jax.value_and_grad(
                 d_loss_fn, has_aux=True)(d_params, d_sp)
+            if pmean_axis is not None:
+                d_grads = jax.lax.pmean(d_grads, pmean_axis)
+                d_loss_val = jax.lax.pmean(d_loss_val, pmean_axis)
+                gp_mean_norm = jax.lax.pmean(gp_mean_norm, pmean_axis)
             d_updates, d_opt = d_tx.update(d_grads, d_opt, d_params)
             d_params = jax.tree_util.tree_map(
                 lambda p, u: p + u, d_params, d_updates)
@@ -164,6 +180,11 @@ def make_train_step(
         (g_loss_val, (g_state, d_sp, g_adv, g_reco)), g_grads = (
             jax.value_and_grad(g_loss_fn, has_aux=True)(
                 g_params, g_state, d_sp))
+        if pmean_axis is not None:
+            g_grads = jax.lax.pmean(g_grads, pmean_axis)
+            g_loss_val = jax.lax.pmean(g_loss_val, pmean_axis)
+            g_adv = jax.lax.pmean(g_adv, pmean_axis)
+            g_reco = jax.lax.pmean(g_reco, pmean_axis)
         g_updates, g_opt = g_tx.update(g_grads, g_opt, g_params)
         g_params = jax.tree_util.tree_map(
             lambda p, u: p + u, g_params, g_updates)
@@ -184,7 +205,7 @@ def make_train_step(
             hr_score, _ = d_fwd(d_params, d_sp, low_res, high_res, False)
             fake_e, _ = g_fwd(g_params, g_state, low_res, noise_e, False)
             fk_score, _ = d_fwd(d_params, d_sp, low_res, fake_e, False)
-            metrics.update({
+            eval_metrics = {
                 "d_loss": discriminator_loss(hr_score, fk_score),
                 "d_real": jnp.mean(hr_score),
                 "d_fake": jnp.mean(fk_score),
@@ -195,9 +216,13 @@ def make_train_step(
                 "g_ws_weighted_rmse": jnp.mean(
                     M.wind_speed_weighted_rmse(high_res, fake_e)),
                 "g_ws_rmse": jnp.mean(M.wind_speed_rmse(high_res, fake_e)),
-            })
+            }
             if tcfg.compute_spatial_ks:
-                metrics["g_spatial_ks"] = M.spatial_ks_scalar(high_res, fake_e)
+                eval_metrics["g_spatial_ks"] = M.spatial_ks_scalar(
+                    high_res, fake_e)
+            if pmean_axis is not None:
+                eval_metrics = jax.lax.pmean(eval_metrics, pmean_axis)
+            metrics.update(eval_metrics)
         else:
             metrics["d_loss"] = d_loss_val
 
@@ -209,6 +234,8 @@ def make_train_step(
         )
         return new_state, metrics
 
+    if not jit_wrap:
+        return train_step
     return jax.jit(train_step, donate_argnums=(0,))
 
 
