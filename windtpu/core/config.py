@@ -30,6 +30,13 @@ class ModelConfig:
     sequence_length: int = 24
     generator_features: int = 128
     discriminator_features: int = 16
+    # Minimum second-pyramid depth that triggers the strided shortcut
+    # residual in the discriminator.  The reference CODE requires > 1
+    # iteration (gan/models.py:127), but the shipped weights-55 checkpoint
+    # contains the shortcut conv for the 96px graph where the pyramid runs
+    # exactly once (6x6x128->256 kernel in discriminator.index) — set 1 to
+    # reproduce that trained topology.
+    discriminator_shortcut_min_iters: int = 2
     # Computation dtype for the conv stack.  Parameters are always float32;
     # bfloat16 here feeds the MXU at double rate.
     compute_dtype: str = "float32"

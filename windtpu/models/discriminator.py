@@ -113,7 +113,7 @@ class Discriminator(nn.Module):
                            update_sn_stats=train, dtype=dtype,
                            name=f"pyr2_conv_{size}")(x)
             x = L.KerasLayerNorm(dtype=dtype, name=f"pyr2_ln_{size}")(x)
-        if len(stage2) > 1:
+        if len(stage2) >= cfg.discriminator_shortcut_min_iters:
             shortcut = L.ShortcutConv(
                 target_size=x.shape[2], features=x.shape[-1],
                 update_sn_stats=train, dtype=dtype, name="shortcut",
