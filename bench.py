@@ -48,11 +48,15 @@ def bench_train(steps: int = 10, warmup: int = 3):
     key = jax.random.key(0)
     for _ in range(warmup):
         state, metrics = step_fn(state, lr, hr, key)
-    jax.block_until_ready(metrics)
+    # NOTE: jax.block_until_ready is unreliable on the axon remote platform;
+    # a host fetch of a value at the end of the dependency chain is the only
+    # trustworthy synchronization (each step consumes the previous state, so
+    # fetching the last metrics waits for every step).
+    float(jax.device_get(metrics["g_loss"]))
     t0 = time.perf_counter()
     for _ in range(steps):
         state, metrics = step_fn(state, lr, hr, key)
-    jax.block_until_ready(metrics)
+    float(jax.device_get(metrics["g_loss"]))
     dt = time.perf_counter() - t0
     return steps / dt
 
@@ -77,15 +81,16 @@ def bench_inference():
     g_vars = init_generator(mcfg, jax.random.key(0))
     field = jax.device_put(np.random.RandomState(0).standard_normal(
         (t, h, w, 3)).astype(np.float32))
-    key = jax.random.key(1)
-    pred, _ = predictor(g_vars, field, key)   # compile + run
-    jax.block_until_ready(pred)
-    t0 = time.perf_counter()
-    pred, _ = predictor(g_vars, field, key)
-    jax.block_until_ready(pred)
-    dt = time.perf_counter() - t0
-    km2_hours = h * w * t        # each 1-km pixel-hour
-    return km2_hours / dt / t    # km^2 of domain downscaled per second (24h)
+    pred, _ = predictor(g_vars, field, jax.random.key(1))  # compile + run
+    float(jax.device_get(pred[0, h // 2, w // 2, 0]))       # real sync
+    best = None
+    for i in range(3):
+        t0 = time.perf_counter()
+        pred, _ = predictor(g_vars, field, jax.random.key(2 + i))
+        float(jax.device_get(pred[0, h // 2, w // 2, 0]))
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return h * w / best          # km^2 of domain downscaled per second (24h)
 
 
 def main():

@@ -29,12 +29,14 @@ import tensorflow as tf
 
 kl = tf.keras.layers
 
+import argparse
+
 IMG = 64
 T = 6
 C_IN = 10
 C_NOISE = 20
 C_OUT = 2
-BATCH = 64
+BATCH = 64  # overridden by --batch; steps/s extrapolates linearly to 64
 FEAT = 128
 DFEAT = 16
 N_CRITIC = 3
@@ -140,6 +142,18 @@ def make_discriminator():
 
 
 def main():
+    global BATCH
+    ap = argparse.ArgumentParser()
+    ap.add_argument("steps", nargs="?", type=int, default=3)
+    ap.add_argument("--batch", type=int, default=8,
+                    help="measured batch; result scaled to batch 64 "
+                         "(CPU is throughput-bound, cost ~linear in batch)")
+    ap.add_argument("--threads", type=int, default=0)
+    args = ap.parse_args()
+    BATCH = args.batch
+    if args.threads:
+        tf.config.threading.set_intra_op_parallelism_threads(args.threads)
+        tf.config.threading.set_inter_op_parallelism_threads(2)
     gen = make_generator()
     disc = make_discriminator()
     g_opt = tf.keras.optimizers.Adam(1e-4, beta_1=0.5, beta_2=0.9,
@@ -188,17 +202,21 @@ def main():
     t0 = time.perf_counter()
     train_step(lr, hr)
     print(f"first step (incl. trace): {time.perf_counter() - t0:.1f}s")
-    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    steps = args.steps
     t0 = time.perf_counter()
     for _ in range(steps):
         train_step(lr, hr)
     dt = time.perf_counter() - t0
     sps = steps / dt
-    print(f"{steps} steps in {dt:.1f}s -> {sps:.4f} steps/s")
+    sps64 = sps * BATCH / 64.0
+    print(f"{steps} steps in {dt:.1f}s -> {sps:.4f} steps/s at batch "
+          f"{BATCH} (~{sps64:.4f} at batch 64)")
     out = {
-        "tf_cpu_train_steps_per_sec": sps,
-        "config": f"batch {BATCH}, {IMG}px, T={T}, n_critic={N_CRITIC}, "
-                  f"{C_IN} inputs",
+        "tf_cpu_train_steps_per_sec": sps64,
+        "measured_batch": BATCH,
+        "measured_steps_per_sec": sps,
+        "config": f"{IMG}px, T={T}, n_critic={N_CRITIC}, "
+                  f"{C_IN} inputs; scaled linearly to batch 64",
         "tf_version": tf.__version__,
         "note": "reference-equivalent workload re-implemented in TF2 Keras "
                 "(tfa absent); metric recompute omitted (conservative)",

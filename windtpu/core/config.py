@@ -76,6 +76,10 @@ class TrainConfig:
     # Whether to compute the domain metric suite inside the train step
     # (reference recomputes with training=False, ganbase.py:63-72).
     compute_metrics: bool = True
+    # Rematerialize network forwards in the loss functions
+    # (jax.checkpoint): trades recompute FLOPs for HBM, the difference
+    # between fitting batch 64 on one chip or not.
+    remat: bool = True
     # Compute the (expensive) spatial KS metric in-step.
     compute_spatial_ks: bool = False
 

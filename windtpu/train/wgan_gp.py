@@ -100,6 +100,18 @@ def make_train_step(
             return out, mut["spectral_stats"]
         return model_d.apply(variables, lr, hr, train=False), d_sp
 
+    if getattr(tcfg, "remat", False):
+        # Rematerialize training-mode forwards: activations are recomputed
+        # in the backward pass instead of living in HBM across the whole
+        # unrolled n_critic loop (fits batch 64 on one 16 GB chip).
+        _g_train = jax.checkpoint(
+            lambda gp, gs, lr, n: g_fwd(gp, gs, lr, n, True))
+        _d_train = jax.checkpoint(
+            lambda dp, sp, lr, hr: d_fwd(dp, sp, lr, hr, True))
+    else:
+        _g_train = lambda gp, gs, lr, n: g_fwd(gp, gs, lr, n, True)  # noqa: E731
+        _d_train = lambda dp, sp, lr, hr: d_fwd(dp, sp, lr, hr, True)  # noqa: E731
+
     def train_step(state: GANTrainState, low_res, high_res, rng):
         b = low_res.shape[0]
         t, i = mcfg.sequence_length, mcfg.image_size
@@ -125,7 +137,7 @@ def make_train_step(
             k = jax.random.fold_in(rng, critic_iter)
             k_noise, k_eps, k_ir, k_if = jax.random.split(k, 4)
             noise = tcfg.noise_std * jax.random.normal(k_noise, noise_shape)
-            fake, g_state = g_fwd(g_params, g_state, low_res, noise, True)
+            fake, g_state = _g_train(g_params, g_state, low_res, noise)
             fake = jax.lax.stop_gradient(fake)
             eps = jax.random.uniform(k_eps, (b, 1, 1, 1, 1))
             mixed = eps * high_res + (1.0 - eps) * fake
@@ -137,7 +149,7 @@ def make_train_step(
                 # image input (grad-of-grad w.r.t. dp when this whole
                 # function is differentiated).
                 def critic_on_image(x):
-                    scores, sp = d_fwd(dp, d_sp, low_res, x, True)
+                    scores, sp = _d_train(dp, d_sp, low_res, x)
                     return jnp.sum(scores), sp
 
                 grads_img, d_sp1 = jax.grad(
@@ -146,8 +158,8 @@ def make_train_step(
                     grads_img, tcfg.gp_weight)
                 if _detach_gp:
                     penalty = jax.lax.stop_gradient(penalty)
-                rs, d_sp2 = d_fwd(dp, d_sp1, low_res, high_res + inst_r, True)
-                fs, d_sp3 = d_fwd(dp, d_sp2, low_res, fake + inst_f, True)
+                rs, d_sp2 = _d_train(dp, d_sp1, low_res, high_res + inst_r)
+                fs, d_sp3 = _d_train(dp, d_sp2, low_res, fake + inst_f)
                 loss = discriminator_loss(rs, fs) + penalty
                 return loss, (d_sp3, mean_norm)
 
@@ -167,8 +179,8 @@ def make_train_step(
         noise = tcfg.noise_std * jax.random.normal(k_gen, noise_shape)
 
         def g_loss_fn(gp, g_state, d_sp):
-            fake, g_state_new = g_fwd(gp, g_state, low_res, noise, True)
-            scores, d_sp_new = d_fwd(d_params, d_sp, low_res, fake, True)
+            fake, g_state_new = _g_train(gp, g_state, low_res, noise)
+            scores, d_sp_new = _d_train(d_params, d_sp, low_res, fake)
             adv = generator_adversarial_loss(scores)
             reco = jnp.zeros(())
             if use_reco:
