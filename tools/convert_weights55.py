@@ -136,6 +136,75 @@ def convert_generator(reader, variables):
     return out
 
 
+def convert_discriminator(reader, variables):
+    """Fill windtpu discriminator variables (96px graph with
+    discriminator_shortcut_min_iters=1) from the TF reader.
+
+    Empirical layer_with_weights order of the shipped discriminator.index:
+    0 hr ConvLSTM, 1 mix ConvLSTM, 2 hr SN conv, 3 mix SN conv,
+    4/5 branch LayerNorms, 6 conv96, 7 LN64, 8 conv31, 9 LN128,
+    10 conv9 (pyramid 2), 11 shortcut conv (6x6), 12/13 LN256s,
+    14 Dense(1).
+    """
+    import copy
+
+    out = copy.deepcopy(variables)
+    p = out["params"]
+    st = out["spectral_stats"]
+
+    def snconv(i, path):
+        node = p
+        for part in path[:-1]:
+            node = node[part]
+        leaf = path[-1]
+        node[leaf]["kernel"] = _get(reader, f"layer_with_weights-{i}/layer/w")
+        node[leaf]["bias"] = _get(
+            reader, f"layer_with_weights-{i}/layer/layer/bias")
+        s = st
+        for part in path[:-1]:
+            s = s[part]
+        s[leaf]["sn"]["u"] = _get(
+            reader, f"layer_with_weights-{i}/layer/sn_u")[0]
+
+    def ln(i, path):
+        node = p
+        for part in path[:-1]:
+            node = node[part]
+        node[path[-1]]["ln"]["scale"] = _get(
+            reader, f"layer_with_weights-{i}/gamma")
+        node[path[-1]]["ln"]["bias"] = _get(
+            reader, f"layer_with_weights-{i}/beta")
+
+    def convlstm(i, name):
+        p[name]["input_conv"]["kernel"] = _get(
+            reader, f"layer_with_weights-{i}/cell/kernel")
+        p[name]["input_conv"]["bias"] = _get(
+            reader, f"layer_with_weights-{i}/cell/bias")
+        p[name]["recurrent_kernel"] = _get(
+            reader, f"layer_with_weights-{i}/cell/recurrent_kernel")
+        p[name]["forget_bias"] = np.zeros_like(p[name]["forget_bias"])
+
+    convlstm(0, "hr_convlstm")
+    convlstm(1, "mix_convlstm")
+    snconv(2, ("hr_conv",))
+    snconv(3, ("mix_conv",))
+    ln(4, ("hr_ln",))
+    ln(5, ("mix_ln",))
+    snconv(6, ("pyr1_conv_96",))
+    ln(7, ("pyr1_ln_96",))
+    snconv(8, ("pyr1_conv_31",))
+    ln(9, ("pyr1_ln_31",))
+    snconv(10, ("pyr2_conv_9",))
+    snconv(11, ("shortcut", "conv"))
+    ln(12, ("pyr2_ln_9",))
+    ln(13, ("shortcut", "norm"))
+    p["score_dense"]["dense"]["kernel"] = _get(
+        reader, "layer_with_weights-14/layer/kernel")
+    p["score_dense"]["dense"]["bias"] = _get(
+        reader, "layer_with_weights-14/layer/bias")
+    return out
+
+
 def verify_against_index(ckpt_dir):
     """Shape-check the generator name map against the checkpoint index
     (works even with stripped blobs)."""

@@ -41,11 +41,14 @@ WEIGHTS_ENV = "WINDTPU_WEIGHTS"
 
 
 def flagship_config() -> GANConfig:
+    """Shipped-model configuration.  Convs run in bfloat16 (MXU-native;
+    parameters stay float32) — set compute_dtype="float32" for bit-level
+    reference comparisons."""
     return GANConfig(
         model=ModelConfig(
             image_size=IMG_SIZE, in_channels=NB_INPUTS,
             noise_channels=NOISE_CHANNELS, out_channels=NB_OUTPUTS,
-            sequence_length=SEQUENCE_LENGTH),
+            sequence_length=SEQUENCE_LENGTH, compute_dtype="bfloat16"),
         train=TrainConfig(batch_size=BATCH_SIZE, noise_std=NOISE_STD),
     )
 

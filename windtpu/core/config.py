@@ -78,8 +78,11 @@ class TrainConfig:
     compute_metrics: bool = True
     # Rematerialize network forwards in the loss functions
     # (jax.checkpoint): trades recompute FLOPs for HBM, the difference
-    # between fitting batch 64 on one chip or not.
-    remat: bool = True
+    # between fitting batch 64 on one chip or not.  True = both networks
+    # (0.97 steps/s @ batch 64/v5e), "d_only" = critic only (same speed,
+    # less headroom), False = off (1.13 steps/s but OOMs at batch 64 with
+    # in-step metrics).
+    remat: "bool | str" = True
     # Compute the (expensive) spatial KS metric in-step.
     compute_spatial_ks: bool = False
 

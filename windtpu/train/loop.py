@@ -34,11 +34,16 @@ def train(
     (low_res, high_res) arrays.  Returns (state, history)."""
     if state is None:
         state = create_train_state(cfg)
+    metrics_logger = None
     if cfg.checkpoint_dir:
         latest = ckpt.latest_checkpoint(cfg.checkpoint_dir)
         if latest:
             state = ckpt.restore_checkpoint(latest, state)
             print(f"resumed from {latest} (step {int(state.step)})")
+        from windtpu.utils.logging import MetricsLogger
+
+        metrics_logger = MetricsLogger(
+            f"{cfg.checkpoint_dir}/metrics.jsonl")
 
     step_fn = make_train_step(cfg)
     rng = jax.random.key(cfg.seed + 1)
@@ -61,6 +66,8 @@ def train(
                 1.0 if local_step == 0 else log_every / (now - t_last))
             t_last = now
             history.append((int(state.step), metrics))
+            if metrics_logger:
+                metrics_logger(int(state.step), metrics)
             if log_fn:
                 log_fn(int(state.step), metrics)
             else:
@@ -71,4 +78,6 @@ def train(
             ckpt.save_checkpoint(cfg.checkpoint_dir, state)
     if cfg.checkpoint_dir:
         ckpt.save_checkpoint(cfg.checkpoint_dir, state)
+    if metrics_logger:
+        metrics_logger.close()
     return state, history

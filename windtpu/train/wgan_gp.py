@@ -100,17 +100,19 @@ def make_train_step(
             return out, mut["spectral_stats"]
         return model_d.apply(variables, lr, hr, train=False), d_sp
 
-    if getattr(tcfg, "remat", False):
-        # Rematerialize training-mode forwards: activations are recomputed
-        # in the backward pass instead of living in HBM across the whole
-        # unrolled n_critic loop (fits batch 64 on one 16 GB chip).
-        _g_train = jax.checkpoint(
-            lambda gp, gs, lr, n: g_fwd(gp, gs, lr, n, True))
-        _d_train = jax.checkpoint(
-            lambda dp, sp, lr, hr: d_fwd(dp, sp, lr, hr, True))
-    else:
-        _g_train = lambda gp, gs, lr, n: g_fwd(gp, gs, lr, n, True)  # noqa: E731
-        _d_train = lambda dp, sp, lr, hr: d_fwd(dp, sp, lr, hr, True)  # noqa: E731
+    # Rematerialization: recompute forwards in the backward pass instead of
+    # holding activations across the unrolled n_critic loop.  The critic's
+    # LayerNorm temps dominate peak HBM (batch 64 OOMs without this);
+    # remat'ing the generator too costs ~16% step time for little memory,
+    # so "d_only" is the default.
+    remat = getattr(tcfg, "remat", "d_only")
+    _g_train = lambda gp, gs, lr, n: g_fwd(gp, gs, lr, n, True)  # noqa: E731
+    _d_train = lambda dp, sp, lr, hr: d_fwd(dp, sp, lr, hr, True)  # noqa: E731
+    if remat is True:
+        _g_train = jax.checkpoint(_g_train)
+        _d_train = jax.checkpoint(_d_train)
+    elif remat == "d_only":
+        _d_train = jax.checkpoint(_d_train)
 
     def train_step(state: GANTrainState, low_res, high_res, rng):
         b = low_res.shape[0]
