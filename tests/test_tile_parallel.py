@@ -1,0 +1,65 @@
+"""Spatial-tile-parallel inference on the 8-device virtual mesh must match
+the single-device result exactly (identity apply_fn -> deterministic)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from windtpu.core.config import InferenceConfig, ModelConfig
+from windtpu.core.mesh import make_mesh
+from windtpu.infer.engine import (
+    make_tile_parallel_predictor,
+    make_tiled_predictor,
+)
+from windtpu.infer.tiling import plan_tiling
+
+TINY_M = ModelConfig(image_size=32, in_channels=3, noise_channels=2,
+                     out_channels=2, sequence_length=4,
+                     generator_features=16, discriminator_features=8)
+TINY_I = InferenceConfig(sequence_length=4, image_size=32, noise_channels=2,
+                         border_crop=2, group_size=2, overlap_factor=0.5,
+                         replicate_normalization_quirk=False)
+
+
+def _identity(v, patches, noise):
+    return patches[..., :2]
+
+
+def test_tile_parallel_matches_single_device():
+    mesh = make_mesh({"data": 8})
+    rng = np.random.RandomState(0)
+    field = jnp.asarray(rng.standard_normal((4, 64, 72, 3)).astype(np.float32))
+    plan = plan_tiling(64, 72, 4, 32, 4, TINY_I.overlap_factor)
+    single = make_tiled_predictor(TINY_M, TINY_I, plan, apply_fn=_identity)
+    sharded = make_tile_parallel_predictor(TINY_M, TINY_I, plan, mesh,
+                                           apply_fn=_identity)
+    key = jax.random.key(0)
+    p1, c1 = single({}, field, key)
+    p2, c2 = sharded({}, field, key)
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+    a, b = np.asarray(p1), np.asarray(p2)
+    np.testing.assert_array_equal(np.isnan(a), np.isnan(b))
+    m = ~np.isnan(a)
+    np.testing.assert_allclose(a[m], b[m], atol=1e-5)
+
+
+def test_tile_parallel_quirk_stats_global():
+    """Quirk normalization stats must be identical whether computed on one
+    device or psum'ed across shards."""
+    import dataclasses
+
+    icfg = dataclasses.replace(TINY_I, replicate_normalization_quirk=True)
+    mesh = make_mesh({"data": 4})
+    rng = np.random.RandomState(3)
+    field = jnp.asarray(rng.standard_normal((4, 48, 48, 3)).astype(np.float32))
+    plan = plan_tiling(48, 48, 4, 32, 4, icfg.overlap_factor)
+    single = make_tiled_predictor(TINY_M, icfg, plan, apply_fn=_identity)
+    sharded = make_tile_parallel_predictor(TINY_M, icfg, plan, mesh,
+                                           apply_fn=_identity)
+    p1, _ = single({}, field, jax.random.key(1))
+    p2, _ = sharded({}, field, jax.random.key(1))
+    a, b = np.asarray(p1), np.asarray(p2)
+    m = ~np.isnan(a)
+    np.testing.assert_allclose(a[m], b[m], atol=1e-5)

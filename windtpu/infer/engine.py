@@ -17,6 +17,15 @@ XLA program over the full (T, H, W, C) field held in HBM:
 No pandas, no per-patch host sync; patch extraction is a strided gather and
 stitching is a dynamic-update-slice accumulation that XLA fuses.
 
+Parallel modes:
+
+* ensemble members — vmapped over PRNG keys; on a mesh with an ``ensemble``
+  axis each member lands on its own device (BASELINE config 4);
+* spatial-tile parallelism — the patch-group list is sharded over a mesh
+  axis with ``shard_map``; stat accumulators and the (canvas, counts) pair
+  are psum'ed over ICI, so arbitrarily large domains scale across chips
+  (BASELINE config 5).
+
 Quirks handled:
 
 * ``replicate_normalization_quirk`` (InferenceConfig): the reference
@@ -28,14 +37,11 @@ Quirks handled:
   (api.py:119).  The reference's ``sy == 0`` branch is off by one (it takes
   rows 1..96 instead of 0..95); we use the correct rows and document the
   divergence — row 0 of the domain is covered here, dropped there.
-
-Ensemble generation: ``ensemble_keys`` vmaps members over fresh noise; on a
-mesh with an ``ensemble`` axis each member lands on its own device
-(BASELINE config 4: one stochastic member per core).
 """
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Optional, Tuple
 
@@ -58,20 +64,36 @@ def _pad_to_multiple(arr: np.ndarray, multiple: int):
     return arr, weights
 
 
-def make_tiled_predictor(
+def _grouped_origins(plan: TilingPlan, group: int, group_multiple: int = 1):
+    """(G, group, 3) int32 origins + (G, group) validity weights, with the
+    group count padded to a multiple of ``group_multiple``."""
+    origins_np, weights_np = _pad_to_multiple(
+        plan.patch_origins().astype(np.int32), group)
+    origins_g = origins_np.reshape(-1, group, 3)
+    weights_g = weights_np.reshape(-1, group)
+    if group_multiple > 1:
+        pad = (-origins_g.shape[0]) % group_multiple
+        if pad:
+            origins_g = np.concatenate(
+                [origins_g, np.repeat(origins_g[-1:], pad, axis=0)], axis=0)
+            weights_g = np.concatenate(
+                [weights_g, np.zeros((pad, group), np.float32)], axis=0)
+    return origins_g, weights_g
+
+
+def _build_predict(
     mcfg: ModelConfig,
     icfg: InferenceConfig,
     plan: TilingPlan,
     apply_fn=None,
+    psum_axis: Optional[str] = None,
 ):
-    """Build a jitted (g_vars, field, key) -> (prediction, counts) function.
+    """Core (g_vars, field, key, origins_g, weights_g) -> (pred, counts).
 
-    ``field``: (T, H, W, in_channels) float32, already merged
-    (u10, v10, elevation/1e3) on the high-res grid.
-    ``prediction``: (T, H, W, out_channels) with NaN where no patch
-    contributed (after border cropping).
-    ``apply_fn(g_vars, patches, noise) -> preds`` defaults to the Generator
-    forward; injectable for testing the tiling/stitch path in isolation.
+    ``origins_g``/``weights_g`` are traced arguments so callers can shard
+    them over a mesh axis; with ``psum_axis`` set, normalization-stat
+    accumulators and the final (canvas, counts) are psum'ed across it
+    (global statistics + cross-shard overlap mean — seam-free).
     """
     img = plan.image_size
     seq = plan.sequence_length
@@ -81,13 +103,6 @@ def make_tiled_predictor(
         model = Generator(mcfg)
         apply_fn = lambda v, x, n: model.apply(v, x, n, train=False)  # noqa: E731
 
-    origins_np = plan.patch_origins()  # (N, 3): sx, sy, time_chunk
-    origins_np = origins_np[:, [0, 1, 2]].astype(np.int32)
-    origins_np, weights_np = _pad_to_multiple(origins_np, group)
-    num_groups = origins_np.shape[0] // group
-    origins_g = origins_np.reshape(num_groups, group, 3)
-    weights_g = weights_np.reshape(num_groups, group)
-
     def gather_patch(field, origin):
         sx, sy, k = origin[0], origin[1], origin[2]
         patch = jax.lax.dynamic_slice(
@@ -95,7 +110,7 @@ def make_tiled_predictor(
             (seq, img, img, field.shape[-1]))
         return patch[:, ::-1, :, :]  # lat-reversed rows (api.py:119)
 
-    def stats_pass(field):
+    def stats_pass(field, origins_g, weights_g):
         """nan-aware mean/std of the stacked patch tensor."""
         # Group tensor axes: (patch, time, lat, lon, channel).  The quirk
         # reduces over (patch, time, lat) -> per-(lon, channel) stats
@@ -120,15 +135,18 @@ def make_tiled_predictor(
         stat_shape = (img, c) if icfg.replicate_normalization_quirk else (c,)
         init = (jnp.zeros(stat_shape), jnp.zeros(stat_shape),
                 jnp.zeros(stat_shape))
-        (s, s2, n), _ = jax.lax.scan(
-            body, init, (jnp.asarray(origins_g), jnp.asarray(weights_g)))
+        (s, s2, n), _ = jax.lax.scan(body, init, (origins_g, weights_g))
+        if psum_axis is not None:
+            s = jax.lax.psum(s, psum_axis)
+            s2 = jax.lax.psum(s2, psum_axis)
+            n = jax.lax.psum(n, psum_axis)
         mean = s / jnp.maximum(n, 1.0)
         var = jnp.maximum(s2 / jnp.maximum(n, 1.0) - mean**2, 0.0)
         return mean, jnp.sqrt(var)
 
-    def predict(g_vars, field, key):
+    def predict(g_vars, field, key, origins_g, weights_g):
         t_total, h, w_pix, _ = field.shape
-        mean, std = stats_pass(field)
+        mean, std = stats_pass(field, origins_g, weights_g)
         std = jnp.where(std == 0, 1.0, std)
 
         canvas = jnp.zeros((t_total, h, w_pix, mcfg.out_channels))
@@ -157,26 +175,96 @@ def make_tiled_predictor(
                 cur = jax.lax.dynamic_slice(canvas, at, size)
                 canvas = jax.lax.dynamic_update_slice(
                     canvas, cur + preds[i], at)
-                cat = (k * seq, sy + crop, sx + crop, 0)
                 csize = size[:-1] + (1,)
-                ccur = jax.lax.dynamic_slice(counts, cat, csize)
+                ccur = jax.lax.dynamic_slice(counts, at, csize)
                 counts = jax.lax.dynamic_update_slice(
-                    counts, ccur + w[i], cat)
+                    counts, ccur + w[i], at)
                 return canvas, counts
 
             canvas, counts = jax.lax.fori_loop(
                 0, group, add_one, (canvas, counts))
             return (canvas, counts), None
 
-        xs = (jnp.arange(num_groups, dtype=jnp.int32),
-              jnp.asarray(origins_g), jnp.asarray(weights_g))
-        (canvas, counts), _ = jax.lax.scan(
-            group_body, (canvas, counts), xs)
+        num_groups = origins_g.shape[0]
+        xs = (jnp.arange(num_groups, dtype=jnp.int32), origins_g, weights_g)
+        (canvas, counts), _ = jax.lax.scan(group_body, (canvas, counts), xs)
+        if psum_axis is not None:
+            canvas = jax.lax.psum(canvas, psum_axis)
+            counts = jax.lax.psum(counts, psum_axis)
         out = jnp.where(counts > 0, canvas / jnp.maximum(counts, 1.0),
                         jnp.nan)
         return out, counts[..., 0]
 
-    return jax.jit(predict)
+    return predict
+
+
+def make_tiled_predictor(
+    mcfg: ModelConfig,
+    icfg: InferenceConfig,
+    plan: TilingPlan,
+    apply_fn=None,
+):
+    """Build a jitted (g_vars, field, key) -> (prediction, counts) function.
+
+    ``field``: (T, H, W, in_channels) float32, already merged
+    (u10, v10, elevation/1e3) on the high-res grid.
+    ``prediction``: (T, H, W, out_channels) with NaN where no patch
+    contributed (after border cropping).
+    ``apply_fn(g_vars, patches, noise) -> preds`` defaults to the Generator
+    forward; injectable for testing the tiling/stitch path in isolation.
+    """
+    predict = _build_predict(mcfg, icfg, plan, apply_fn)
+    origins_g, weights_g = _grouped_origins(plan, icfg.group_size)
+    origins_g = jnp.asarray(origins_g)
+    weights_g = jnp.asarray(weights_g)
+
+    @jax.jit
+    def run(g_vars, field, key):
+        return predict(g_vars, field, key, origins_g, weights_g)
+
+    return run
+
+
+def make_tile_parallel_predictor(
+    mcfg: ModelConfig,
+    icfg: InferenceConfig,
+    plan: TilingPlan,
+    mesh,
+    axis: str = "data",
+    apply_fn=None,
+):
+    """Spatial-tile parallel inference: the patch-group list is sharded over
+    the mesh's ``axis`` via shard_map; every device generates its share into
+    a local canvas and one psum of (canvas, counts) over ICI completes the
+    overlap mean (BASELINE config 5: Alps-wide tiled runs).
+
+    Same (g_vars, field, key) -> (pred, counts) contract; the field is
+    replicated (small next to generator compute), only work is sharded.
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n_dev = mesh.shape[axis]
+    predict = _build_predict(mcfg, icfg, plan, apply_fn, psum_axis=axis)
+    origins_g, weights_g = _grouped_origins(
+        plan, icfg.group_size, group_multiple=n_dev)
+
+    body = shard_map(
+        predict, mesh=mesh,
+        in_specs=(P(), P(), P(), P(axis), P(axis)),
+        out_specs=(P(), P()),
+        check_rep=False,
+    )
+    origins_sh = jax.device_put(
+        origins_g, NamedSharding(mesh, P(axis)))
+    weights_sh = jax.device_put(
+        weights_g, NamedSharding(mesh, P(axis)))
+
+    @jax.jit
+    def run(g_vars, field, key):
+        return body(g_vars, field, key, origins_sh, weights_sh)
+
+    return run
 
 
 def downscale_field(
@@ -187,12 +275,15 @@ def downscale_field(
     key: Optional[jax.Array] = None,
     plan: Optional[TilingPlan] = None,
     ensemble_keys: Optional[jax.Array] = None,
+    mesh=None,
+    tile_axis: str = "data",
 ) -> Tuple[jax.Array, TilingPlan]:
     """Tile + predict + stitch a full field.  Returns (prediction, plan).
 
     With ``ensemble_keys`` (shape (M,)) the result gains a leading member
     axis — one stochastic downscaling per key, vmapped so an ``ensemble``
-    mesh axis can place one member per device.
+    mesh axis can place one member per device.  With ``mesh`` the patch
+    work is sharded over ``tile_axis`` (see make_tile_parallel_predictor).
     """
     icfg = icfg or InferenceConfig(
         sequence_length=mcfg.sequence_length, image_size=mcfg.image_size,
@@ -201,7 +292,11 @@ def downscale_field(
     if plan is None:
         plan = plan_tiling(h, w, t, icfg.image_size, icfg.sequence_length,
                            icfg.overlap_factor)
-    predictor = make_tiled_predictor(mcfg, icfg, plan)
+    if mesh is not None:
+        predictor = make_tile_parallel_predictor(
+            mcfg, icfg, plan, mesh, tile_axis)
+    else:
+        predictor = make_tiled_predictor(mcfg, icfg, plan)
     if ensemble_keys is not None:
         preds, _ = jax.vmap(predictor, in_axes=(None, None, 0))(
             g_vars, field, ensemble_keys)

@@ -40,6 +40,14 @@ def _zero_nans(x):
     return jnp.where(jnp.isnan(x), jnp.zeros_like(x), x)
 
 
+def encoded_features_l2_distance(a: jax.Array, b: jax.Array) -> jax.Array:
+    """L2 distance in encoder feature space over (B, T, latent)
+    (reference gan/metrics.py:26-29; unused by the shipped path but part of
+    the metric surface)."""
+    result = _zero_nans((a - b) ** 2)
+    return jnp.sqrt(jnp.mean(result, axis=(1, 2)))
+
+
 def wind_speed_weighted_rmse(real: jax.Array, fake: jax.Array) -> jax.Array:
     """Dujardin wind-speed-weighted RMSE, shape (B,).
     Reference gan/metrics.py:32-45."""
