@@ -1,0 +1,95 @@
+"""CLI end-to-end on fabricated inputs with a tiny network (the flagship
+config's compile cost is for TPU runs; get_network is monkeypatched)."""
+
+import numpy as np
+import pytest
+
+from windtpu.core.config import GANConfig, ModelConfig, TrainConfig
+from windtpu.io.dataset import DataArray, Dataset, open_dataset
+from windtpu.io.geotiff import write_geotiff_like
+
+TINY = GANConfig(
+    model=ModelConfig(image_size=32, in_channels=3, noise_channels=2,
+                      out_channels=2, sequence_length=4,
+                      generator_features=16, discriminator_features=8),
+    train=TrainConfig(batch_size=2),
+)
+
+
+@pytest.fixture
+def inputs(tmp_path):
+    era_dir = tmp_path / "era"
+    era_dir.mkdir()
+    nt, nlat, nlon = 4, 6, 7
+    time = np.arange("2016-04-01T00", "2016-04-01T04",
+                     dtype="datetime64[h]")
+    lat = np.linspace(47.5, 45.0, nlat)
+    lon = np.linspace(5.5, 9.5, nlon)
+    rng = np.random.RandomState(0)
+    ds = Dataset(
+        {v: DataArray(("time", "latitude", "longitude"),
+                      rng.standard_normal((nt, nlat, nlon))
+                      .astype(np.float32) * 3)
+         for v in ("u10", "v10")},
+        {"time": DataArray(("time",), time),
+         "latitude": DataArray(("latitude",), lat),
+         "longitude": DataArray(("longitude",), lon)})
+    ds.to_netcdf(era_dir / "20160401_era5_surface_hourly.nc")
+    ny, nx = 200, 260
+    x = np.linspace(5.4, 9.6, nx)
+    y = np.linspace(47.6, 44.9, ny)
+    dem = rng.uniform(200, 3000, (ny, nx)).astype(np.float32)
+    write_geotiff_like(tmp_path / "dem.tif", dem, x, y)
+    return tmp_path
+
+
+def test_downscale_cli(inputs, monkeypatch, capsys):
+    from windtpu import api, cli
+    from windtpu.network import WindDownscalingGAN
+
+    monkeypatch.setattr(api, "get_network",
+                        lambda weights_path=None: WindDownscalingGAN(TINY))
+    out = inputs / "out.nc"
+    cli.main(["--era", str(inputs / "era"), "--dem",
+              str(inputs / "dem.tif"), "--date", "20160401",
+              "--lon", "5.5:9.5", "--lat", "45.0:47.5",
+              "-o", str(out)])
+    assert out.exists()
+    ds = open_dataset(out)
+    assert set(ds.data_vars) == {"u10", "v10"}
+    assert ds["u10"].dims == ("time", "lat_1", "lon_1")
+    assert ds.sizes["time"] == 4
+    assert ds.sizes["lat_1"] == 26 * 6
+    assert ds.sizes["lon_1"] == 18 * 7
+    vals = ds["u10"].values
+    assert np.isfinite(vals[~np.isnan(vals)]).all()
+
+
+def test_downscale_cli_ensemble(inputs, monkeypatch):
+    from windtpu import api, cli
+    from windtpu.network import WindDownscalingGAN
+
+    monkeypatch.setattr(api, "get_network",
+                        lambda weights_path=None: WindDownscalingGAN(TINY))
+    out = inputs / "ens.nc"
+    cli.main(["--era", str(inputs / "era"), "--dem",
+              str(inputs / "dem.tif"), "--date", "20160401",
+              "-o", str(out), "--ensemble", "2"])
+    ds = open_dataset(out)
+    assert ds["u10"].dims == ("member", "time", "lat_1", "lon_1")
+    assert ds.sizes["member"] == 2
+    u = ds["u10"].values
+    m = ~np.isnan(u[0])
+    assert not np.allclose(u[0][m], u[1][m])
+
+
+def test_train_cli_synthetic(tmp_path):
+    from windtpu import cli
+
+    cli.train_main(["--inputs", "x", "--outputs", "y", "--synthetic",
+                    "--checkpoint-dir", str(tmp_path / "ck"),
+                    "--steps", "1", "--batch-size", "2",
+                    "--patch-size", "24", "--sequence-length", "2"])
+    import os
+
+    assert any(d.startswith("step_") for d in os.listdir(tmp_path / "ck"))

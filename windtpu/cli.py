@@ -101,7 +101,14 @@ def train_main(argv=None):
     bg = BatchGenerator(in_prov, output_provider=out_prov,
                         start_date=args.start_date, end_date=args.end_date,
                         config=dcfg, num_workers=2)
-    mesh = make_mesh()
+    # Largest device count that divides the batch (batch 2 on an 8-chip
+    # mesh would otherwise fail to shard).
+    import jax
+
+    n = jax.device_count()
+    while args.batch_size % n:
+        n -= 1
+    mesh = make_mesh({"data": n})
     state, _ = train(cfg, bg.as_device_iterator(mesh), num_steps=args.steps,
                      checkpoint_every=args.checkpoint_every,
                      profile_dir=args.profile_dir)

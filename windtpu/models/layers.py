@@ -254,28 +254,40 @@ class ConvLSTM(nn.Module):
 
         dt = zx.dtype
         rk = recurrent_kernel.astype(dt)
+        # Fold the unit forget bias into the hoisted input conv ONCE —
+        # adding it inside the scan makes XLA hoist a loop-length broadcast.
         fb = forget_bias.astype(dt)
+        zx = zx.at[..., f:2 * f].add(fb)
+
+        # LAYOUT: the scan's stacked buffers and saved residuals are
+        # (T, B, ..., C)-shaped.  In NHWC with narrow channels (the critic
+        # uses F=2 and F=16) the lane dimension pads C -> 128: up to a 64x
+        # HBM blowup per stacked tensor, which OOMs flagship training.
+        # Running the recurrence in NCHW puts W on the lanes (96 -> 128 is
+        # 1.33x), so all per-step residuals stay compact.
+        zx_tmajor = jnp.moveaxis(zx, 1, 0)            # (T, B, H, W, 4F)
+        zx_tmajor = jnp.moveaxis(zx_tmajor, -1, 2)    # (T, B, 4F, H, W)
 
         def step(carry, zx_t):
-            h_prev, c_prev = carry
+            h_prev, c_prev = carry                    # (B, F, H, W)
             zh = jax.lax.conv_general_dilated(
                 h_prev, rk, window_strides=(1, 1), padding="SAME",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                dimension_numbers=("NCHW", "HWIO", "NCHW"),
             )
-            z = zx_t + zh
-            zi, zf, zc, zo = jnp.split(z, 4, axis=-1)
+            z = zx_t + zh                             # (B, 4F, H, W)
+            zi, zf, zc, zo = jnp.split(z, 4, axis=1)
             i = hard_sigmoid(zi)
-            fg = hard_sigmoid(zf + fb)
+            fg = hard_sigmoid(zf)
             c = fg * c_prev + i * jnp.tanh(zc)
             o = hard_sigmoid(zo)
             h_new = o * jnp.tanh(c)
             return (h_new, c), h_new
 
-        h0 = jnp.zeros((b, h, w, f), dt)
-        c0 = jnp.zeros((b, h, w, f), dt)
-        zx_tmajor = jnp.moveaxis(zx, 1, 0)  # (T, B, H, W, 4F)
+        h0 = jnp.zeros((b, f, h, w), dt)
+        c0 = jnp.zeros((b, f, h, w), dt)
         (_, _), ys = jax.lax.scan(step, (h0, c0), zx_tmajor)
-        return jnp.moveaxis(ys, 0, 1)  # (B, T, H, W, F)
+        # (T, B, F, H, W) -> (B, T, H, W, F)
+        return jnp.transpose(ys, (1, 0, 3, 4, 2))
 
 
 class TimeDense(nn.Module):
