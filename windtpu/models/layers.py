@@ -256,26 +256,46 @@ class ConvLSTM(nn.Module):
         rk = recurrent_kernel.astype(dt)
         # Fold the unit forget bias into the hoisted input conv ONCE —
         # adding it inside the scan makes XLA hoist a loop-length broadcast.
+        # Full-width vector add (zeros outside the f-gate) fuses into the
+        # conv epilogue; a slice update would materialize zx twice.
         fb = forget_bias.astype(dt)
-        zx = zx.at[..., f:2 * f].add(fb)
+        fb_vec = jnp.concatenate(
+            [jnp.zeros((f,), dt), fb, jnp.zeros((2 * f,), dt)])
+        zx = zx + fb_vec
 
         # LAYOUT: the scan's stacked buffers and saved residuals are
         # (T, B, ..., C)-shaped.  In NHWC with narrow channels (the critic
         # uses F=2 and F=16) the lane dimension pads C -> 128: up to a 64x
         # HBM blowup per stacked tensor, which OOMs flagship training.
-        # Running the recurrence in NCHW puts W on the lanes (96 -> 128 is
-        # 1.33x), so all per-step residuals stay compact.
-        zx_tmajor = jnp.moveaxis(zx, 1, 0)            # (T, B, H, W, 4F)
-        zx_tmajor = jnp.moveaxis(zx_tmajor, -1, 2)    # (T, B, 4F, H, W)
+        # For narrow F the recurrence therefore runs in NCHW (W on the
+        # lanes: 96 -> 128 is 1.33x); for wide F (the generator's 128)
+        # NHWC already fills the lanes and its convs are faster.  NCHW only
+        # pays off when the padded residuals are actually large — small
+        # fields keep NHWC (measured: 64px critic is 17% faster in NHWC
+        # and fits comfortably; 96px critic OOMs without NCHW).
+        nchw = f < 64 and h * w >= 96 * 96
+
+        if nchw:
+            zx_tmajor = jnp.moveaxis(zx, 1, 0)          # (T, B, H, W, 4F)
+            zx_tmajor = jnp.moveaxis(zx_tmajor, -1, 2)  # (T, B, 4F, H, W)
+            dn = ("NCHW", "HWIO", "NCHW")
+            split_axis = 1
+            h0 = jnp.zeros((b, f, h, w), dt)
+        else:
+            zx_tmajor = jnp.moveaxis(zx, 1, 0)          # (T, B, H, W, 4F)
+            dn = ("NHWC", "HWIO", "NHWC")
+            split_axis = -1
+            h0 = jnp.zeros((b, h, w, f), dt)
+        c0 = h0
 
         def step(carry, zx_t):
-            h_prev, c_prev = carry                    # (B, F, H, W)
+            h_prev, c_prev = carry
             zh = jax.lax.conv_general_dilated(
                 h_prev, rk, window_strides=(1, 1), padding="SAME",
-                dimension_numbers=("NCHW", "HWIO", "NCHW"),
+                dimension_numbers=dn,
             )
-            z = zx_t + zh                             # (B, 4F, H, W)
-            zi, zf, zc, zo = jnp.split(z, 4, axis=1)
+            z = zx_t + zh
+            zi, zf, zc, zo = jnp.split(z, 4, axis=split_axis)
             i = hard_sigmoid(zi)
             fg = hard_sigmoid(zf)
             c = fg * c_prev + i * jnp.tanh(zc)
@@ -283,11 +303,10 @@ class ConvLSTM(nn.Module):
             h_new = o * jnp.tanh(c)
             return (h_new, c), h_new
 
-        h0 = jnp.zeros((b, f, h, w), dt)
-        c0 = jnp.zeros((b, f, h, w), dt)
         (_, _), ys = jax.lax.scan(step, (h0, c0), zx_tmajor)
-        # (T, B, F, H, W) -> (B, T, H, W, F)
-        return jnp.transpose(ys, (1, 0, 3, 4, 2))
+        if nchw:
+            return jnp.transpose(ys, (1, 0, 3, 4, 2))  # -> (B, T, H, W, F)
+        return jnp.moveaxis(ys, 0, 1)
 
 
 class TimeDense(nn.Module):
