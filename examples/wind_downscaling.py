@@ -22,6 +22,8 @@ from pathlib import Path
 
 import numpy as np
 
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 ROOT = Path(__file__).resolve().parent / "_demo_data"
 
 
@@ -129,8 +131,8 @@ def ensemble():
     result = api.downscale(era5, raster, range_lon=(5.5, 9.5),
                            range_lat=(45.0, 47.5), overlap_factor=0.01,
                            ensemble_members=4)
-    print("member spread (std over members):",
-          float(np.nanstd(np.asarray(result["u10"].values), axis=0).mean()))
+    spread = np.nanstd(np.asarray(result["u10"].values), axis=0)
+    print("member spread (std over members):", float(np.nanmean(spread)))
 
 
 if __name__ == "__main__":
