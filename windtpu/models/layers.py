@@ -228,12 +228,17 @@ class ConvLSTM(nn.Module):
 
     features: int
     kernel_size: Tuple[int, int] = (3, 3)
+    # TF 2.4 (the reference's pin) defaults ConvLSTM2D to hard_sigmoid
+    # recurrent activation; Keras 3 changed the default to sigmoid.
+    recurrent_activation: str = "hard_sigmoid"
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         b, t, h, w, _ = x.shape
         f = self.features
+        r_act = (hard_sigmoid if self.recurrent_activation == "hard_sigmoid"
+                 else jax.nn.sigmoid)
 
         # Hoisted input->gates conv over all timesteps at once.
         folded, _ = fold_time(x)
@@ -296,10 +301,10 @@ class ConvLSTM(nn.Module):
             )
             z = zx_t + zh
             zi, zf, zc, zo = jnp.split(z, 4, axis=split_axis)
-            i = hard_sigmoid(zi)
-            fg = hard_sigmoid(zf)
+            i = r_act(zi)
+            fg = r_act(zf)
             c = fg * c_prev + i * jnp.tanh(zc)
-            o = hard_sigmoid(zo)
+            o = r_act(zo)
             h_new = o * jnp.tanh(c)
             return (h_new, c), h_new
 
