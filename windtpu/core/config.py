@@ -81,8 +81,9 @@ class TrainConfig:
     # between fitting batch 64 on one chip or not.  True = both networks
     # (0.97 steps/s @ batch 64/v5e), "d_only" = critic only (same speed,
     # less headroom), False = off (1.13 steps/s but OOMs at batch 64 with
-    # in-step metrics).
-    remat: "bool | str" = True
+    # in-step metrics), "save_scans" = remat everything EXCEPT the serial
+    # ConvLSTM outputs (skips the costly scan recompute in backward).
+    remat: "bool | str" = "save_scans"
     # Compute the (expensive) spatial KS metric in-step.
     compute_spatial_ks: bool = False
 

@@ -310,8 +310,13 @@ class ConvLSTM(nn.Module):
 
         (_, _), ys = jax.lax.scan(step, (h0, c0), zx_tmajor)
         if nchw:
-            return jnp.transpose(ys, (1, 0, 3, 4, 2))  # -> (B, T, H, W, F)
-        return jnp.moveaxis(ys, 0, 1)
+            out = jnp.transpose(ys, (1, 0, 3, 4, 2))  # -> (B, T, H, W, F)
+        else:
+            out = jnp.moveaxis(ys, 0, 1)
+        # Named for remat policies: recomputing the serial scan in the
+        # backward pass is the expensive part of jax.checkpoint; policies
+        # can elect to save exactly this tensor (see train/wgan_gp.py).
+        return jax.ad_checkpoint.checkpoint_name(out, "convlstm_out")
 
 
 class TimeDense(nn.Module):

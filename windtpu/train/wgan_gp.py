@@ -105,7 +105,7 @@ def make_train_step(
     # LayerNorm temps dominate peak HBM (batch 64 OOMs without this);
     # remat'ing the generator too costs ~16% step time for little memory,
     # so "d_only" is the default.
-    remat = getattr(tcfg, "remat", "d_only")
+    remat = getattr(tcfg, "remat", "save_scans")
     _g_train = lambda gp, gs, lr, n: g_fwd(gp, gs, lr, n, True)  # noqa: E731
     _d_train = lambda dp, sp, lr, hr: d_fwd(dp, sp, lr, hr, True)  # noqa: E731
     if remat is True:
@@ -113,6 +113,13 @@ def make_train_step(
         _d_train = jax.checkpoint(_d_train)
     elif remat == "d_only":
         _d_train = jax.checkpoint(_d_train)
+    elif remat == "save_scans":
+        # Recompute the cheap folded convs in backward, but keep the
+        # serial ConvLSTM scan outputs (models/layers.py names them).
+        policy = jax.checkpoint_policies.save_only_these_names(
+            "convlstm_out")
+        _g_train = jax.checkpoint(_g_train, policy=policy)
+        _d_train = jax.checkpoint(_d_train, policy=policy)
 
     def train_step(state: GANTrainState, low_res, high_res, rng):
         b = low_res.shape[0]
