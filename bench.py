@@ -9,19 +9,55 @@ Workload = the BASELINE.json north-star training config scaled to one chip:
 
 ``vs_baseline`` compares against the reference's TF-CPU equivalent measured
 once by tools/bench_baseline_tf.py into BASELINE_MEASURED.json (the
-reference publishes no numbers — BASELINE.md).  A secondary inference
-figure (downscaled km^2/s at 1 km on the flagship 96px generator) is
-included as an extra key.
+reference publishes no numbers — BASELINE.md).  Extra keys:
+
+* ``mfu`` — model FLOPs utilization for the primary config, computed from
+  ``jax.jit(step).lower(...).cost_analysis()['flops']`` (HLO-level count,
+  includes the unrolled n_critic D updates and the grad-of-grad gradient
+  penalty) against the device's peak dense bf16 FLOPs.
+* ``flagship_steps_per_sec`` — the full-size 96px / T=24 generator config.
+* ``inference_km2_per_sec`` — downscaled km^2/s at 1 km on the flagship
+  96px tiled inference engine.  Failures are LOUD: any benchmark exception
+  aborts the run with a traceback (a broken path must never report null).
+
+Synchronization note: jax.block_until_ready is unreliable on the axon remote
+platform; the only trustworthy sync is a host fetch (device_get) of a value
+at the end of the dependency chain.  Every timed section here fetches.
 """
 
+import argparse
 import json
 import os
 import time
 
 import numpy as np
 
+# Peak dense matmul FLOPs/s per chip (bf16 with fp32 accumulation), from
+# published TPU/GPU specs.  Used as the MFU denominator; unknown device
+# kinds report mfu=null rather than guessing.
+PEAK_FLOPS = {
+    "TPU v4": 275e12,
+    "TPU v5 lite": 197e12,
+    "TPU v5e": 197e12,
+    "TPU v5": 459e12,
+    "TPU v5p": 459e12,
+    "TPU v6 lite": 918e12,
+    "TPU v6e": 918e12,
+}
 
-def bench_train(steps: int = 10, warmup: int = 3):
+
+def _peak_flops():
+    import jax
+
+    kind = jax.devices()[0].device_kind
+    for name, peak in PEAK_FLOPS.items():
+        if kind.lower().startswith(name.lower()):
+            return peak, kind
+    return None, kind
+
+
+def _train_setup(image_size, seq_len, batch, n_critic, g_feat=128, d_feat=16,
+                 metrics=True):
     import jax
 
     from windtpu.core.config import GANConfig, ModelConfig, TrainConfig
@@ -29,11 +65,14 @@ def bench_train(steps: int = 10, warmup: int = 3):
     from windtpu.train.wgan_gp import make_train_step
 
     cfg = GANConfig(
-        model=ModelConfig(image_size=64, in_channels=10, noise_channels=20,
-                          out_channels=2, sequence_length=6,
-                          generator_features=128, discriminator_features=16,
+        model=ModelConfig(image_size=image_size, in_channels=10,
+                          noise_channels=20, out_channels=2,
+                          sequence_length=seq_len,
+                          generator_features=g_feat,
+                          discriminator_features=d_feat,
                           compute_dtype="bfloat16"),
-        train=TrainConfig(batch_size=64, n_critic=3, compute_metrics=True),
+        train=TrainConfig(batch_size=batch, n_critic=n_critic,
+                          compute_metrics=metrics),
     )
     m, t = cfg.model, cfg.train
     state = create_train_state(cfg)
@@ -46,22 +85,69 @@ def bench_train(steps: int = 10, warmup: int = 3):
         (t.batch_size, m.sequence_length, m.image_size, m.image_size,
          m.out_channels)).astype(np.float32))
     key = jax.random.key(0)
+    return step_fn, state, lr, hr, key
+
+
+def _flops_per_step(step_fn, state, lr, hr, key,
+                    shape=None):
+    """HLO flop count of one full train step (trace-only, no device work).
+
+    The axon remote TPU plugin returns None from Lowered.cost_analysis();
+    the count is backend-independent, so fall back to lowering the same
+    step on the always-available CPU platform in a subprocess.
+    """
+    import jax
+
+    try:
+        lowered = jax.jit(step_fn).lower(state, lr, hr, key)
+        cost = lowered.cost_analysis()
+        flops = cost.get("flops") if isinstance(cost, dict) else None
+        if flops and flops > 0:
+            return float(flops)
+    except Exception as e:
+        print(f"# cost_analysis unavailable on this backend: {e!r}")
+    if shape is None:
+        return None
+    import subprocess
+    import sys
+
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu'); "
+        "from bench import _train_setup, _flops_per_step; "
+        f"s = _train_setup({shape[0]}, {shape[1]}, {shape[2]}, {shape[3]}); "
+        "f = _flops_per_step(*s); print('FLOPS', f)")
+    proc = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)))
+    for line in proc.stdout.splitlines():
+        if line.startswith("FLOPS ") and line.split()[1] != "None":
+            return float(line.split()[1])
+    print(f"# CPU cost_analysis fallback failed: rc={proc.returncode} "
+          f"{proc.stderr.strip()[-300:]}")
+    return None
+
+
+def bench_train(image_size=64, seq_len=6, batch=64, n_critic=3,
+                steps=10, warmup=3, metrics=True, want_flops=False):
+    import jax
+
+    step_fn, state, lr, hr, key = _train_setup(
+        image_size, seq_len, batch, n_critic, metrics=metrics)
+    flops = _flops_per_step(step_fn, state, lr, hr, key,
+                            shape=(image_size, seq_len, batch, n_critic)) \
+        if want_flops else None
     for _ in range(warmup):
-        state, metrics = step_fn(state, lr, hr, key)
-    # NOTE: jax.block_until_ready is unreliable on the axon remote platform;
-    # a host fetch of a value at the end of the dependency chain is the only
-    # trustworthy synchronization (each step consumes the previous state, so
-    # fetching the last metrics waits for every step).
-    float(jax.device_get(metrics["g_loss"]))
+        state, m = step_fn(state, lr, hr, key)
+    float(jax.device_get(m["g_loss"]))  # real sync (see module docstring)
     t0 = time.perf_counter()
     for _ in range(steps):
-        state, metrics = step_fn(state, lr, hr, key)
-    float(jax.device_get(metrics["g_loss"]))
+        state, m = step_fn(state, lr, hr, key)
+    float(jax.device_get(m["g_loss"]))
     dt = time.perf_counter() - t0
-    return steps / dt
+    return steps / dt, flops
 
 
-def bench_inference():
+def bench_inference(smoke=False):
     """Downscaled km^2/s: flagship generator over a 24h, ~750x550 km domain
     at 1 km (tiled, stitched on device)."""
     import jax
@@ -72,9 +158,19 @@ def bench_inference():
     from windtpu.infer.tiling import plan_tiling
     from windtpu.models.generator import init_generator
 
-    mcfg = flagship_config().model
-    icfg = InferenceConfig(overlap_factor=0.05)
-    t, h, w = 24, 546, 756  # one day, ~COSMO-1 Switzerland-sized domain
+    if smoke:
+        from windtpu.core.config import ModelConfig
+
+        mcfg = ModelConfig(image_size=32, in_channels=3, noise_channels=4,
+                           out_channels=2, sequence_length=3,
+                           generator_features=16, discriminator_features=8)
+        icfg = InferenceConfig(sequence_length=3, image_size=32,
+                               noise_channels=4, overlap_factor=0.05)
+        t, h, w = 3, 120, 140
+    else:
+        mcfg = flagship_config().model
+        icfg = InferenceConfig(overlap_factor=0.05)
+        t, h, w = 24, 546, 756
     plan = plan_tiling(h, w, t, icfg.image_size, icfg.sequence_length,
                        icfg.overlap_factor)
     predictor = make_tiled_predictor(mcfg, icfg, plan)
@@ -84,7 +180,7 @@ def bench_inference():
     pred, _ = predictor(g_vars, field, jax.random.key(1))  # compile + run
     float(jax.device_get(pred[0, h // 2, w // 2, 0]))       # real sync
     best = None
-    for i in range(3):
+    for i in range(1 if smoke else 3):
         t0 = time.perf_counter()
         pred, _ = predictor(g_vars, field, jax.random.key(2 + i))
         float(jax.device_get(pred[0, h // 2, w // 2, 0]))
@@ -94,24 +190,48 @@ def bench_inference():
 
 
 def main():
-    steps_per_sec = bench_train()
-    try:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--smoke", action="store_true",
+                    help="tiny shapes, fewer steps: a fast all-paths check "
+                         "for the pre-commit gate, not a perf measurement")
+    args = ap.parse_args()
+
+    peak, device_kind = _peak_flops()
+
+    if args.smoke:
+        steps_per_sec, flops = bench_train(
+            image_size=24, seq_len=2, batch=2, n_critic=1, steps=2,
+            warmup=1, want_flops=True)
+        km2_per_sec = bench_inference(smoke=True)
+        flagship_sps = None
+    else:
+        steps_per_sec, flops = bench_train(want_flops=True)
+        flagship_sps, _ = bench_train(image_size=96, seq_len=24, batch=2,
+                                      n_critic=3, steps=5, warmup=2)
         km2_per_sec = bench_inference()
-    except Exception:
-        km2_per_sec = None
+
+    mfu = (steps_per_sec * flops / peak) if (flops and peak) else None
 
     baseline = None
-    path = os.path.join(os.path.dirname(__file__), "BASELINE_MEASURED.json")
-    if os.path.exists(path):
-        with open(path) as f:
-            baseline = json.load(f).get("tf_cpu_train_steps_per_sec")
+    if not args.smoke:  # baseline was measured at the full bench config only
+        path = os.path.join(os.path.dirname(__file__),
+                            "BASELINE_MEASURED.json")
+        if os.path.exists(path):
+            with open(path) as f:
+                baseline = json.load(f).get("tf_cpu_train_steps_per_sec")
     vs = (steps_per_sec / baseline) if baseline else None
 
     print(json.dumps({
         "metric": "wgan_gp_train_steps_per_sec",
         "value": round(steps_per_sec, 4),
-        "unit": "steps/s (batch 64, 64px, T=6, n_critic=3)",
+        "unit": ("steps/s (SMOKE: batch 2, 24px, T=2)" if args.smoke else
+                 "steps/s (batch 64, 64px, T=6, n_critic=3)"),
         "vs_baseline": round(vs, 2) if vs else None,
+        "mfu": round(mfu, 4) if mfu else None,
+        "flops_per_step": flops,
+        "device": device_kind,
+        "flagship_steps_per_sec":
+            round(flagship_sps, 4) if flagship_sps else None,
         "inference_km2_per_sec": round(km2_per_sec, 1) if km2_per_sec else None,
     }))
 

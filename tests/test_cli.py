@@ -59,8 +59,9 @@ def test_downscale_cli(inputs, monkeypatch, capsys):
     assert set(ds.data_vars) == {"u10", "v10"}
     assert ds["u10"].dims == ("time", "lat_1", "lon_1")
     assert ds.sizes["time"] == 4
-    assert ds.sizes["lat_1"] == 26 * 6
-    assert ds.sizes["lon_1"] == 18 * 7
+    # 2-px uncovered rim dropped from the grid (reference parity).
+    assert ds.sizes["lat_1"] == 26 * 6 - 4
+    assert ds.sizes["lon_1"] == 18 * 7 - 4
     vals = ds["u10"].values
     assert np.isfinite(vals[~np.isnan(vals)]).all()
 

@@ -243,16 +243,21 @@ class TestEndToEnd:
         assert set(result.data_vars) == {"u10", "v10"}
         assert result["u10"].dims == ("time", "lat_1", "lon_1")
         assert result.sizes["time"] == 4
+        # The outer 2-px rim (never covered once patch borders are
+        # cropped) is dropped from the output grid, exactly like the
+        # reference's groupby output omits those coordinates.
+        assert result.sizes["lat_1"] == tpl.sizes["lat_1"] - 4
+        assert result.sizes["lon_1"] == tpl.sizes["lon_1"] - 4
         vals = result["u10"].values
         assert np.isfinite(vals[~np.isnan(vals)]).all()
-        # NaN exactly where no cropped patch covers (the reference's
-        # groupby output omits those pixels the same way).
+        # Inside the cropped grid, NaN exactly where no cropped patch
+        # covers (interior seams the reference also leaves empty).
         from windtpu.infer.tiling import plan_tiling
 
-        plan = plan_tiling(result.sizes["lat_1"], result.sizes["lon_1"],
+        plan = plan_tiling(tpl.sizes["lat_1"], tpl.sizes["lon_1"],
                            4, 32, 4, 0.01)
-        cov = np.zeros((result.sizes["lat_1"], result.sizes["lon_1"]), bool)
+        cov = np.zeros((tpl.sizes["lat_1"], tpl.sizes["lon_1"]), bool)
         for sy in plan.starts_y:
             for sx in plan.starts_x:
                 cov[sy + 2:sy + 30, sx + 2:sx + 30] = True
-        np.testing.assert_array_equal(np.isnan(vals[0]), ~cov)
+        np.testing.assert_array_equal(np.isnan(vals[0]), ~cov[2:-2, 2:-2])

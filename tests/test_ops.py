@@ -66,9 +66,31 @@ class TestStencils:
         lon = np.linspace(6.0, 9.0, 80)
         desc = topographic_descriptors(dem, lat, lon, 500.0)
         assert set(desc) == {"elevation", "tpi_500", "we_derivative",
-                             "sn_derivative", "slope", "aspect"}
+                             "sn_derivative", "slope", "aspect",
+                             "ridge_index_norm", "ridge_index_dir"}
         for name, arr in desc.items():
             a = np.asarray(arr)
             assert a.shape == (64, 80), name
             assert np.isfinite(a).all(), name
         assert (np.abs(np.asarray(desc["slope"])) <= np.pi / 2).all()
+        assert (np.asarray(desc["ridge_index_norm"]) >= 0).all()
+        d = np.asarray(desc["ridge_index_dir"])
+        assert ((d >= 0) & (d < np.pi)).all()
+
+    def test_ridge_index_detects_crest_axis(self):
+        """A north-south Gaussian ridge peaks at the crest column with the
+        crest axis reported as pi/2; flats report zero."""
+        from windtpu.ops.stencil import ridge_index
+
+        x = np.arange(64, dtype=np.float32)
+        dem = np.tile(1000.0 * np.exp(-((x - 32.0) ** 2) / 30.0), (64, 1))
+        norm, dirn = ridge_index(jnp.asarray(dem), 9)
+        norm, dirn = np.asarray(norm), np.asarray(dirn)
+        assert norm[32].argmax() == 32
+        assert norm[32, 32] > 100.0
+        assert norm[32, 2] == 0.0                      # flat far field
+        assert abs(dirn[32, 32] - np.pi / 2) < 1e-6    # crest runs N-S
+        # 90-degree rotation rotates the reported crest axis accordingly.
+        norm_t, dirn_t = ridge_index(jnp.asarray(dem.T.copy()), 9)
+        assert abs(float(dirn_t[32, 32])) < 1e-6
+        np.testing.assert_allclose(np.asarray(norm_t), norm.T, atol=1e-3)

@@ -62,8 +62,8 @@ class TestTopoJob:
 
 def _write_day_files(tmp_path, d_str="20200101", ny=12, nx=14, nt=4):
     rng = np.random.RandomState(1)
-    time = np.arange("2020-01-01T00", "2020-01-01T04",
-                     dtype="datetime64[h]")[:nt]
+    time = (np.datetime64("2020-01-01T00", "h") +
+            np.arange(nt).astype("timedelta64[h]"))
     lat1 = np.linspace(46.0, 47.0, ny)
     lon1 = np.linspace(6.0, 8.0, nx)
 
@@ -137,3 +137,74 @@ class TestDailyBuilder:
         # Blurring must reduce variance vs the raw target field.
         y = open_dataset(tmp_path / "outb" / "y_20200101.nc")
         assert x["U_10M"].values.std() < y["U_10M"].values.std()
+
+
+class TestPureDefaults:
+    """windtpu-prepare output must train with PURE default configs: every
+    variable in DataConfig.input_variables (incl. ridge_index_norm) is
+    producible by the prepare pipeline, and DataConfig.patch_size composes
+    with ModelConfig's image_size % 4 invariant."""
+
+    def test_default_input_variables_flow_from_prepare_to_batches(
+            self, tmp_path, dem_file):
+        from windtpu.core.config import DataConfig, ModelConfig
+        from windtpu.data import BatchGenerator, LocalFileProvider
+
+        process_topographic_variables_file(str(dem_file))
+        _write_day_files(tmp_path, ny=40, nx=44, nt=8)
+        out = tmp_path / "out"
+        process_imgs(str(out), str(tmp_path / "era5"), str(tmp_path / "cosmo"),
+                     str(dem_file.parent), "2020-01-01", "2020-01-01")
+
+        dcfg = DataConfig(batch_size=2)          # pure variable defaults
+        for v in dcfg.input_variables:
+            assert v in open_dataset(out / "x_20200101.nc").data_vars, v
+        # Defaults compose: the default patch is a valid model image size.
+        ModelConfig(image_size=dcfg.patch_size,
+                    in_channels=len(dcfg.input_variables))
+        bg = BatchGenerator(LocalFileProvider(str(out), "x_{date}.nc"),
+                            output_provider=LocalFileProvider(
+                                str(out), "y_{date}.nc"),
+                            config=dcfg, seed=0)
+        xb, yb = next(iter(bg))
+        assert xb.shape == (2, dcfg.sequence_length, dcfg.patch_size,
+                            dcfg.patch_size, len(dcfg.input_variables))
+        assert yb.shape[-1] == len(dcfg.output_variables)
+        assert np.isfinite(xb).all() and np.isfinite(yb).all()
+
+
+class TestCosmoFetcher:
+    def test_fetch_with_retry_is_atomic(self, tmp_path, monkeypatch):
+        """Failed transfers leave no artifact (only *.part, cleaned up);
+        the destination appears only after a complete transfer."""
+        from windtpu.preprocess import download_cosmo as dc
+
+        monkeypatch.setattr(dc.time, "sleep", lambda s: None)
+
+        class FlakyConn:
+            def __init__(self, failures):
+                self.failures = failures
+
+            def retrbinary(self, cmd, cb):
+                assert cmd == "RETR remote.nc"
+                if self.failures > 0:
+                    self.failures -= 1
+                    cb(b"trunc")          # partial write, then the line drops
+                    raise EOFError("connection dropped")
+                cb(b"complete contents")
+
+            def quit(self):
+                pass
+
+        conn = FlakyConn(failures=2)
+        dest = tmp_path / "x.nc"
+        dc._fetch_with_retry(lambda: conn, conn, "remote.nc", dest)
+        assert dest.read_bytes() == b"complete contents"
+        assert not dest.with_suffix(".nc.part").exists()
+
+        conn = FlakyConn(failures=99)
+        with pytest.raises(EOFError):
+            dc._fetch_with_retry(lambda: conn, conn, "remote.nc",
+                                 tmp_path / "y.nc")
+        assert not (tmp_path / "y.nc").exists()
+        assert not (tmp_path / "y.nc.part").exists()

@@ -142,3 +142,34 @@ def test_train_on_synthetic_pipeline():
     assert int(state.step) == 2
     assert len(history) == 2
     assert np.isfinite(history[-1][1]["g_loss"])
+
+
+def test_generator_npz_roundtrip(tmp_path):
+    """Bundled single-file weights: save -> load restores every leaf
+    bit-exactly, and mismatched trees fail loudly."""
+    import numpy as np
+
+    from windtpu.core.config import ModelConfig
+    from windtpu.models.generator import init_generator
+    from windtpu.train.checkpoint import (load_generator_npz,
+                                          save_generator_npz)
+
+    cfg = ModelConfig(image_size=16, in_channels=3, noise_channels=2,
+                      out_channels=2, sequence_length=2,
+                      generator_features=8, discriminator_features=4)
+    v = init_generator(cfg, jax.random.key(7))
+    path = save_generator_npz(tmp_path / "g.npz", v)
+    loaded = load_generator_npz(path, jax.device_get(v))
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_flatten_with_path(jax.device_get(v))[0],
+            jax.tree_util.tree_flatten_with_path(loaded)[0]):
+        assert pa == pb
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    other = init_generator(
+        ModelConfig(image_size=16, in_channels=4, noise_channels=2,
+                    out_channels=2, sequence_length=2,
+                    generator_features=8, discriminator_features=4),
+        jax.random.key(0))
+    with pytest.raises(ValueError):
+        load_generator_npz(path, jax.device_get(other))

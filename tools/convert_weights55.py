@@ -14,7 +14,10 @@ frameworks' kernel layouts differ:
   packing in both (Keras order preserved by windtpu.models.layers.ConvLSTM);
   the Keras bias (unit forget init) maps to input_conv/bias with the
   separate windtpu forget_bias zeroed;
-* SpectralNormalization ``sn_u`` (1, out) -> spectral_stats u (out,);
+* SpectralNormalization ``sn_u`` (1, out) -> spectral_stats u (out,) for
+  Conv2D; for Conv2DTranspose tfa matricizes the TF-layout kernel to
+  (-1, IN), and windtpu's TimeConvTranspose normalizes the same
+  matricization, so its u is (in,) and maps across unchanged;
 * BatchNorm gamma/beta/moving_* -> scale/bias/mean/var (eps matches).
 
 In this environment the checkpoint DATA blobs are stripped

@@ -1,0 +1,221 @@
+"""Train the bundled generator weights on structured synthetic terrain-wind
+data (COSMO-blurred self-downscaling surrogate).
+
+The reference ships weights-55.ckpt so its CLI produces meaningful output
+out of the box (api.py:21); those blobs are stripped from this mount, so
+windtpu trains its own bundled checkpoint.  No real COSMO/ERA5 data exists
+in this environment either, so the training signal is the reference's own
+self-downscaling trick (data_processing.py:153-211): generate plausible
+high-res wind over synthetic terrain, blur it to make the low-res input,
+and train the flagship generator to restore the terrain-locked detail.
+
+Synthetic data model (structured, not white noise):
+
+* DEM: power-law (fractal) random surface — realistic ridge/valley spectra.
+* High-res wind: a smooth time-varying synoptic flow modulated by the
+  wind-terrain exposure predictor e+/e- (preprocess/daily.py:31-38) plus
+  slope-locked small-scale turbulence, so the fine structure is CAUSED by
+  the terrain channel the generator sees.
+* Low-res input: Gaussian-blurred wind (sigma=7 px, the reference's
+  default blurring) + elevation/1e3 — exactly the flagship inference
+  contract (u10, v10, elevation) of api.predict.
+
+Training: WGAN-GP with the reference's identity-feature reconstruction
+anchor (enc = identity: ties the fake to the blurred field at large scales
+while the critic pushes high-frequency detail).
+
+Usage: python tools/train_shipped_ckpt.py [--steps 3000] [--batch 8]
+Writes windtpu/assets/weights/generator-synth.npz and prints a sharpness
+report (high-pass energy ratio fake/bilinear/truth).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def fractal_field(ny, nx, rng, beta=2.6):
+    """Zero-mean unit-std random field with a k^-beta power spectrum."""
+    ky = np.fft.fftfreq(ny)[:, None]
+    kx = np.fft.fftfreq(nx)[None, :]
+    k = np.hypot(ky, kx)
+    k[0, 0] = k.flat[np.abs(k).argsort()[1]]
+    amp = k ** (-beta / 2.0)
+    phase = np.exp(2j * np.pi * rng.rand(ny, nx))
+    f = np.fft.ifft2(amp * phase).real
+    return ((f - f.mean()) / f.std()).astype(np.float32)
+
+
+def gaussian_blur(field, sigma):
+    """FFT Gaussian blur over the last two axes (periodic — fine for
+    synthetic training crops)."""
+    ny, nx = field.shape[-2:]
+    ky = np.fft.fftfreq(ny)[:, None]
+    kx = np.fft.fftfreq(nx)[None, :]
+    g = np.exp(-2.0 * (np.pi * sigma) ** 2 * (ky ** 2 + kx ** 2))
+    return np.fft.ifft2(np.fft.fft2(field) * g).real.astype(np.float32)
+
+
+def make_domain(rng, ny=384, nx=384):
+    """(dem_norm, slope, aspect) for one synthetic terrain."""
+    import jax.numpy as jnp
+
+    from windtpu.ops.stencil import gradient_descriptors
+
+    dem = 1400.0 + 900.0 * fractal_field(ny, nx, rng)
+    _, _, slope, aspect = (np.asarray(a) for a in gradient_descriptors(
+        jnp.asarray(dem), 2, (1000.0, 1000.0)))
+    return dem.astype(np.float32), slope, aspect
+
+
+def synth_day(rng, dem, slope, aspect, t=6, sigma=7.0):
+    """One day of (low_res, high_res) fields over the full domain.
+
+    high_res u/v = synoptic flow * terrain exposure response + slope-locked
+    gusts; low_res = Gaussian-blurred high_res (self-downscaling input).
+    """
+    from windtpu.preprocess.daily import compute_time_varying_topo_pred
+
+    ny, nx = dem.shape
+    # Smooth synoptic flow: speed 2..12 m/s, direction drifting over the day.
+    phase = rng.uniform(0, 2 * np.pi)
+    speed = rng.uniform(3.0, 10.0) + 2.0 * np.sin(
+        np.linspace(0, 2 * np.pi, t) + phase)
+    angle = rng.uniform(0, 2 * np.pi) + 0.3 * np.sin(
+        np.linspace(0, 2 * np.pi, t) + rng.uniform(0, 2 * np.pi))
+    u0 = (speed * np.cos(angle))[:, None, None].astype(np.float32)
+    v0 = (speed * np.sin(angle))[:, None, None].astype(np.float32)
+
+    e_plus, e_minus = compute_time_varying_topo_pred(
+        np.broadcast_to(u0, (t, ny, nx)), np.broadcast_to(v0, (t, ny, nx)),
+        slope[None], aspect[None])
+    # Exposure response: windward speed-up, lee sheltering (the signal the
+    # generator must reconstruct from terrain + blurred flow).
+    gain = (1.0 + 0.9 * e_plus + 1.1 * e_minus).astype(np.float32)
+    gust = np.stack([
+        0.35 * fractal_field(ny, nx, rng, beta=1.8) * np.tanh(8 * slope)
+        for _ in range(t)])
+    hu = u0 * gain + gust * np.cos(angle)[:, None, None]
+    hv = v0 * gain + gust * np.sin(angle)[:, None, None]
+    high = np.stack([hu, hv], axis=-1).astype(np.float32)     # (T, H, W, 2)
+    low_uv = gaussian_blur(np.moveaxis(high, -1, 0), sigma)   # (2, T, H, W)
+    elev = np.broadcast_to(dem / 1e3, (t, ny, nx)).astype(np.float32)
+    low = np.stack([low_uv[0], low_uv[1], elev], axis=-1)     # (T, H, W, 3)
+    return low, high
+
+
+def batches(rng, domains, batch, patch, t):
+    while True:
+        lows, highs = [], []
+        for _ in range(batch):
+            dem, slope, aspect, day_cache = domains[
+                rng.randint(len(domains))]
+            if not day_cache or rng.rand() < 0.02:
+                day_cache.append(synth_day(rng, dem, slope, aspect, t=t))
+                if len(day_cache) > 8:
+                    day_cache.pop(0)
+            low, high = day_cache[rng.randint(len(day_cache))]
+            ny, nx = low.shape[1:3]
+            y0 = rng.randint(ny - patch + 1)
+            x0 = rng.randint(nx - patch + 1)
+            lows.append(low[:, y0:y0 + patch, x0:x0 + patch])
+            highs.append(high[:, y0:y0 + patch, x0:x0 + patch])
+        yield np.stack(lows), np.stack(highs)
+
+
+def highpass_energy(field, sigma=7.0):
+    """Mean squared high-frequency content (what blurring removes)."""
+    return float(np.mean((field - gaussian_blur(field, sigma)) ** 2))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=3000)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--patch", type=int, default=96)
+    ap.add_argument("--seq", type=int, default=6)
+    ap.add_argument("--reco", type=float, default=20.0)
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "windtpu", "assets", "weights", "generator-synth.npz"))
+    ap.add_argument("--resume", default=None,
+                    help="orbax train-state dir to resume from")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from windtpu.core.config import GANConfig, ModelConfig, TrainConfig
+    from windtpu.models.generator import Generator
+    from windtpu.train.checkpoint import save_generator_npz
+    from windtpu.train.state import create_train_state
+    from windtpu.train.wgan_gp import make_train_step
+
+    cfg = GANConfig(
+        model=ModelConfig(image_size=args.patch, in_channels=3,
+                          noise_channels=20, out_channels=2,
+                          sequence_length=args.seq, generator_features=128,
+                          discriminator_features=16,
+                          compute_dtype="bfloat16"),
+        train=TrainConfig(batch_size=args.batch, n_critic=2,
+                          reconstruction_coefficient=args.reco,
+                          compute_metrics=False),
+    )
+    # Identity features: reconstruction anchors the fake to the blurred
+    # input's large scales (reference enc(low)-enc(fake), gan/train.py:26).
+    feature_fn = lambda x: x  # noqa: E731
+    step_fn = make_train_step(cfg, feature_fn=feature_fn)
+    state = create_train_state(cfg)
+
+    rng = np.random.RandomState(0)
+    print("synthesizing terrain domains...", flush=True)
+    domains = [list(make_domain(rng)) + [[]] for _ in range(4)]
+    it = batches(rng, domains, args.batch, args.patch, args.seq)
+
+    key = jax.random.key(1)
+    t0 = time.time()
+    for step in range(args.steps):
+        low, high = next(it)
+        state, metrics = step_fn(state, jnp.asarray(low), jnp.asarray(high),
+                                 jax.random.fold_in(key, step))
+        if step % 100 == 0 or step == args.steps - 1:
+            m = {k: float(v) for k, v in metrics.items()}
+            print(f"step {step}: d={m.get('d_loss', 0):+.3f} "
+                  f"g={m.get('g_loss', 0):+.3f} "
+                  f"reco={m.get('g_reconstruction', 0):.3f} "
+                  f"({time.time() - t0:.0f}s)", flush=True)
+
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    g_vars = jax.device_get(state.g_variables())
+    save_generator_npz(args.out, g_vars)
+    size_mb = os.path.getsize(args.out) / 1e6
+    print(f"wrote {args.out} ({size_mb:.1f} MB)")
+
+    # ---- sharpness report: generator vs bilinear vs truth -----------------
+    low, high = next(it)
+    gen = Generator(cfg.model)
+    noise = 0.1 * jax.random.normal(
+        jax.random.key(9), low.shape[:-1] + (cfg.model.noise_channels,))
+    fake = np.asarray(jax.jit(
+        lambda v, x, n: gen.apply(v, x, n, train=False))(
+            {"params": g_vars["params"],
+             "batch_stats": g_vars["batch_stats"],
+             "spectral_stats": g_vars["spectral_stats"]},
+            jnp.asarray(low), noise))
+    hp_truth = highpass_energy(np.moveaxis(high[..., 0], 0, 0))
+    hp_input = highpass_energy(low[..., 0])     # == "bilinear" upscaling: 0
+    hp_fake = highpass_energy(fake[..., 0])
+    print(f"high-pass energy: truth={hp_truth:.4f} fake={hp_fake:.4f} "
+          f"blurred-input={hp_input:.4f} "
+          f"(fake/truth={hp_fake / max(hp_truth, 1e-9):.2f})")
+
+
+if __name__ == "__main__":
+    main()

@@ -63,8 +63,12 @@ def get_network(weights_path: Optional[str] = None):
 
     print("Loading network...")
     gan = WindDownscalingGAN(flagship_config())
-    weights = weights_path or os.environ.get(WEIGHTS_ENV)
+    bundled = os.path.join(os.path.dirname(__file__), "assets", "weights",
+                           "generator-synth.npz")
+    weights = weights_path or os.environ.get(WEIGHTS_ENV) or (
+        bundled if os.path.exists(bundled) else None)
     if weights:
+        print(f"loading weights from {weights}")
         gan.load_weights(weights)
     else:
         print("warning: no pretrained weights found (set $WINDTPU_WEIGHTS); "
@@ -122,6 +126,16 @@ def predict(
     covered_t = plan.num_time_chunks * icfg.sequence_length
     pred = pred[..., :covered_t, :, :, :] if member_axis \
         else pred[:covered_t]
+    # Each patch's 2-px border is discarded before stitching, so tiles at
+    # the domain boundary never cover the outer rim.  The reference drops
+    # those coordinates from its output grid entirely (api.py:150-152
+    # isel(slice(2,-2)) + groupby-mean); do the same rather than returning
+    # a NaN frame.
+    b = icfg.border_crop
+    if b:
+        pred = pred[..., b:-b, b:-b, :]
+        lat = lat[b:-b]
+        lon = lon[b:-b]
     coords = {
         "time": DataArray(("time",), time_vals[:covered_t]),
         "lat_1": DataArray(("lat_1",), lat),
@@ -132,7 +146,6 @@ def predict(
         coords["member"] = DataArray(
             ("member",), np.arange(ensemble_members))
         dims = ("member",) + dims
-        pred = pred[:, :covered_t]
     data_vars = {
         "u10": DataArray(dims, pred[..., 0]),
         "v10": DataArray(dims, pred[..., 1]),

@@ -93,7 +93,11 @@ class DataConfig:
     """Training data pipeline (reference data_generator.py:97-112)."""
 
     sequence_length: int = 6
-    patch_size: int = 30
+    # The reference defaults to 30 (data_generator.py:104) but windtpu's
+    # generator requires image_size % 4 == 0 (two 2x upsampling stages with
+    # exact shape round-trips, ModelConfig.__post_init__) — 32 is the
+    # nearest valid patch, so defaults compose without a crash.
+    patch_size: int = 32
     batch_size: int = 16
     transform: bool = True
     input_variables: Tuple[str, ...] = (

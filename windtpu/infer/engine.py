@@ -241,7 +241,7 @@ def make_tile_parallel_predictor(
     Same (g_vars, field, key) -> (pred, counts) contract; the field is
     replicated (small next to generator compute), only work is sharded.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     n_dev = mesh.shape[axis]
@@ -253,7 +253,7 @@ def make_tile_parallel_predictor(
         predict, mesh=mesh,
         in_specs=(P(), P(), P(), P(axis), P(axis)),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     origins_sh = jax.device_put(
         origins_g, NamedSharding(mesh, P(axis)))

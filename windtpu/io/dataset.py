@@ -174,10 +174,10 @@ class Dataset:
             coord = self.coords[cname]
             dim = coord.dims[0]
             vals = coord.values
-            if len(vals) > 1 and vals[0] > vals[-1]:  # descending
-                mask = (vals >= lo) & (vals <= hi)
-            else:
-                mask = (vals >= lo) & (vals <= hi)
+            # A value mask works for ascending and descending (ERA5
+            # latitude) coords alike; the selected block stays contiguous
+            # either way because the coords are monotonic.
+            mask = (vals >= lo) & (vals <= hi)
             idx = np.nonzero(mask)[0]
             if len(idx) == 0:
                 raise ValueError(f"range {lo}:{hi} selects nothing on {cname}")

@@ -31,6 +31,7 @@ from __future__ import annotations
 from typing import Callable, Optional, Sequence, Tuple
 
 import jax
+import jax.ad_checkpoint
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -145,8 +146,32 @@ class TimeConv(nn.Module):
         return unfold_time(y, b)
 
 
+class _ConvTransposeParams(nn.Module):
+    """Holds a transpose-conv kernel/bias pair (HWIO layout)."""
+
+    shape: Tuple[int, ...]
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.glorot_uniform(),
+                            self.shape, jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        return kernel, bias
+
+
 class TimeConvTranspose(nn.Module):
-    """Time-distributed Conv2DTranspose (reference gan/models.py:55,63-64)."""
+    """Time-distributed Conv2DTranspose (reference gan/models.py:55,63-64).
+
+    Keras/TF Conv2DTranspose is the GRADIENT of a forward conv — the kernel
+    acts spatially flipped — whereas ``lax.conv_transpose``'s default (and
+    flax's ConvTranspose) is a fractionally-strided conv with the kernel as
+    given.  To keep forward outputs interchangeable with the reference
+    graph (caught by tests/test_graph_parity.py), the kernel is stored in
+    windtpu's usual HWIO layout and passed through the
+    ``transpose_kernel=True`` path, which reproduces Keras exactly.
+    """
 
     features: int
     kernel_size: Tuple[int, int]
@@ -160,27 +185,35 @@ class TimeConvTranspose(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         folded, b = fold_time(x)
+        shape = self.kernel_size + (folded.shape[-1], self.features)
         if self.use_spectral_norm:
-            kernel = self.param(
-                "kernel",
-                nn.initializers.glorot_uniform(),
-                self.kernel_size + (folded.shape[-1], self.features),
-                jnp.float32,
-            )
-            bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
-            kernel = SpectralNorm(update_stats=self.update_sn_stats, name="sn")(kernel)
-            dt = self.dtype or folded.dtype
-            y = jax.lax.conv_transpose(
-                folded.astype(dt), kernel.astype(dt),
-                strides=self.strides, padding=self.padding,
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            )
-            y = y + bias.astype(y.dtype)
+            kernel = self.param("kernel", nn.initializers.glorot_uniform(),
+                                shape, jnp.float32)
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), jnp.float32)
         else:
-            y = nn.ConvTranspose(
-                self.features, self.kernel_size, strides=self.strides,
-                padding=self.padding, dtype=self.dtype, name="conv",
-            )(folded)
+            # Park the plain variant's weights under "conv" to keep the
+            # checkpoint tree of the previous flax.ConvTranspose layout.
+            kernel, bias = _ConvTransposeParams(
+                shape, self.features, name="conv")()
+        # TF Conv2DTranspose layout (kh, kw, out, in) — the layout
+        # lax.conv_transpose(transpose_kernel=True) consumes.
+        kernel = jnp.transpose(kernel, (0, 1, 3, 2))
+        if self.use_spectral_norm:
+            # Normalize in TF layout so the matricization — reshape(-1,
+            # last) — matches tfa.SpectralNormalization on Conv2DTranspose:
+            # u lives in the IN-channel space, same as the shipped sn_u
+            # vectors of weights-55 (tools/convert_weights55.py).
+            kernel = SpectralNorm(
+                update_stats=self.update_sn_stats, name="sn")(kernel)
+        dt = self.dtype or folded.dtype
+        y = jax.lax.conv_transpose(
+            folded.astype(dt), kernel.astype(dt),
+            strides=self.strides, padding=self.padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            transpose_kernel=True,
+        )
+        y = y + bias.astype(y.dtype)
         if self.activation is not None:
             y = self.activation(y)
         return unfold_time(y, b)

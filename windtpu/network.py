@@ -75,6 +75,15 @@ class WindDownscalingGAN:
 
     def load_weights(self, filepath):
         path = filepath
+        if str(filepath).endswith(".npz"):
+            # Bundled single-file generator weights (inference-only).
+            g_vars = ckpt.load_generator_npz(
+                filepath, jax.device_get(self.state.g_variables()))
+            self.state = self.state.replace(
+                g_params=g_vars["params"],
+                g_batch_stats=g_vars["batch_stats"],
+                g_spectral=g_vars["spectral_stats"])
+            return self
         if os.path.isdir(filepath) and not os.path.basename(
                 str(filepath)).startswith("step_"):
             latest = ckpt.latest_checkpoint(filepath)

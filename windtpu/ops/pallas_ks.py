@@ -99,13 +99,13 @@ def spatial_ks_pallas(
         grid=(n,),
         in_specs=[
             pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
-                         memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+                         memory_space=pl.ANY if interpret else pltpu.MemorySpace.VMEM),
             pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
-                         memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+                         memory_space=pl.ANY if interpret else pltpu.MemorySpace.VMEM),
         ],
         out_specs=pl.BlockSpec((1, oh, ow), lambda i: (i, 0, 0),
-                               memory_space=pltpu.ANY if interpret
-                               else pltpu.VMEM),
+                               memory_space=pl.ANY if interpret
+                               else pltpu.MemorySpace.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, oh, ow), jnp.float32),
         interpret=interpret,
     )(fr, ff)

@@ -86,6 +86,63 @@ def gradient_descriptors(
     return ddx, ddy, slope, aspect
 
 
+def _line_kernel(length_px: int, theta: float) -> np.ndarray:
+    """Binary line segment of the given length through the kernel center,
+    oriented at angle ``theta`` (radians, mathematical convention)."""
+    r = max(int(length_px) // 2, 1)
+    n = 2 * r + 1
+    k = np.zeros((n, n), np.float32)
+    c, s = np.cos(theta), np.sin(theta)
+    for t in np.linspace(-r, r, 4 * n):
+        y, x = int(round(r + t * s)), int(round(r + t * c))
+        k[y, x] = 1.0
+    return k
+
+
+@functools.partial(jax.jit, static_argnames=("scale_px",))
+def ridge_index(dem: jax.Array, scale_px: int):
+    """(ridge_index_norm, ridge_index_dir): directional-TPI ridge detector.
+
+    The reference lists ``ridge_index_norm`` among its training inputs
+    (data_generator.py:103-110) but its topo job never computes it
+    (data_processing.py:41-65 emits only elevation/tpi/gradients), so
+    default-config training KeyErrors there.  windtpu closes that gap with
+    an explicit, documented definition in the spirit of the MeteoSwiss
+    ``topo_descriptors`` valley/ridge index:
+
+    For line stencils at 4 orientations (0, 45, 90, 135 degrees) of length
+    ``scale_px``, the directional response is ``dem - mean(dem along the
+    line)`` — a cross-section through a ridge sees low flanks, so the
+    response peaks for the line PERPENDICULAR to the crest.
+
+    * ``ridge_index_norm`` = max over orientations of the positive response
+      (meters above the directional neighbourhood; 0 in flats/valleys).
+    * ``ridge_index_dir``  = crest axis orientation in [0, pi) radians
+      (perpendicular to the argmax cross-line).
+
+    All four orientations run as ONE 4-output-channel convolution — a
+    single MXU-shaped stencil pass, NaN-aware via validity weighting.
+    """
+    thetas = np.arange(4) * (np.pi / 4.0)
+    kernels = np.stack([_line_kernel(scale_px, t) for t in thetas], axis=-1)
+    ker = jnp.asarray(kernels)[:, :, None, :]          # (kh, kw, 1, 4)
+    valid = (~jnp.isnan(dem)).astype(jnp.float32)
+    filled = jnp.where(jnp.isnan(dem), 0.0, dem)
+
+    def conv(x):
+        out = jax.lax.conv_general_dilated(
+            x[None, :, :, None], ker, window_strides=(1, 1), padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return out[0]
+
+    means = conv(filled * valid) / jnp.maximum(conv(valid), 1.0)  # (H, W, 4)
+    resp = jnp.maximum(filled[:, :, None] - means, 0.0)
+    norm = jnp.max(resp, axis=-1)
+    crest = jnp.asarray((thetas + np.pi / 2.0) % np.pi, jnp.float32)
+    direction = crest[jnp.argmax(resp, axis=-1)]
+    return norm, direction
+
+
 def meters_per_pixel(lat: np.ndarray, lon: np.ndarray) -> Tuple[float, float]:
     """Approximate (res_y, res_x) in meters for a lat/lon grid, negative
     when the coordinate decreases with index (north-up rasters)."""
@@ -133,6 +190,7 @@ def topographic_descriptors(
     grad_scale = max(int(round(scale_px / 4)), 1)
     ddx, ddy, slope, aspect = gradient_descriptors(
         dem, grad_scale, (res_y, res_x))
+    ridge_norm, ridge_dir = ridge_index(dem, scale_px)
     return {
         "elevation": dem,
         f"tpi_{int(scale_meters)}": t,
@@ -140,4 +198,6 @@ def topographic_descriptors(
         "sn_derivative": ddy,
         "slope": slope,
         "aspect": aspect,
+        "ridge_index_norm": ridge_norm,
+        "ridge_index_dir": ridge_dir,
     }

@@ -15,7 +15,7 @@ from typing import Optional
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from windtpu.core.config import GANConfig
 from windtpu.train.wgan_gp import make_train_step
@@ -33,6 +33,6 @@ def make_sharded_train_step(cfg: GANConfig, mesh: Mesh, axis: str = "data"):
         raw_step, mesh=mesh,
         in_specs=(state_spec, batch_spec, batch_spec, state_spec),
         out_specs=(state_spec, state_spec),
-        check_rep=False,  # optimizer state updates are replicated by pmean
+        check_vma=False,  # optimizer state updates are replicated by pmean
     )
     return jax.jit(sharded, donate_argnums=(0,))

@@ -22,8 +22,11 @@ from windtpu.io.dataset import DataArray, Dataset, open_mfdataset
 
 SURFACE_VARS = ("u10", "v10", "blh", "fsr", "sp")
 Z500_VARS = ("z", "vo", "d")
-TOPO_VARS = ("elevation", "tpi_500", "we_derivative", "sn_derivative",
-             "slope", "aspect")
+# Matches the reference default (data_processing.py:86-88) INCLUDING the
+# ridge index pair — producible here because windtpu's topo job computes
+# them (ops/stencil.ridge_index), where the reference's does not.
+TOPO_VARS = ("elevation", "tpi_500", "ridge_index_norm", "ridge_index_dir",
+             "we_derivative", "sn_derivative", "slope", "aspect")
 COSMO_VARS = ("U_10M", "V_10M")
 DERIVED_VARS = ("e_plus", "e_minus", "w_speed", "w_angle")
 

@@ -6,6 +6,11 @@ slope, aspect) and write each as ``topo_<name>.nc`` next to the DEM,
 skipping idempotently if all outputs exist.  The descriptors themselves run
 as convolution stencils on the TPU (windtpu.ops.stencil) instead of host
 scipy filters.
+
+Unlike the reference, this also emits ``ridge_index_norm`` /
+``ridge_index_dir`` — the reference's default training inputs require
+ridge_index_norm (data_generator.py:103-110) but its topo job never
+produces it; see windtpu.ops.stencil.ridge_index for the definition.
 """
 
 from __future__ import annotations
@@ -19,7 +24,7 @@ from windtpu.io.geotiff import open_rasterio
 from windtpu.ops.stencil import topographic_descriptors
 
 NAMES = ("elevation", "tpi_500", "we_derivative", "sn_derivative",
-         "slope", "aspect")
+         "slope", "aspect", "ridge_index_norm", "ridge_index_dir")
 
 
 def process_topographic_variables_file(path_to_file: str,

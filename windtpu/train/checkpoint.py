@@ -53,3 +53,65 @@ def restore_generator(path, template_vars):
         "batch_stats": full["g_batch_stats"],
         "spectral_stats": full["g_spectral"],
     }
+
+
+# -- single-file generator weights (bundled-checkpoint format) ---------------
+#
+# The reference ships its pretrained generator as a TF object checkpoint
+# (api.py:21, weights-55.ckpt).  windtpu's bundled equivalent is ONE
+# compressed .npz whose keys are '/'-joined paths into the generator
+# variables tree — trivially inspectable, diff-able, and small enough to
+# live in the repo, unlike a multi-file Orbax directory.
+
+def _flatten(tree, prefix=""):
+    out = {}
+    for key, value in tree.items():
+        path = f"{prefix}/{key}" if prefix else str(key)
+        if isinstance(value, dict):
+            out.update(_flatten(value, path))
+        else:
+            out[path] = value
+    return out
+
+
+def save_generator_npz(path, g_variables) -> str:
+    import numpy as np
+
+    flat = {k: np.asarray(v)
+            for k, v in _flatten(jax.device_get(g_variables)).items()}
+    path = os.fspath(path)
+    with open(path, "wb") as fp:
+        np.savez_compressed(fp, **flat)
+    return path
+
+
+def load_generator_npz(path, template_vars):
+    """Load a save_generator_npz file into the structure (and shapes) of
+    ``template_vars``; raises on any missing/extra/mismatched entry."""
+    import numpy as np
+
+    with np.load(os.fspath(path)) as data:
+        flat = {k: data[k] for k in data.files}
+    want = _flatten(template_vars)
+    missing = sorted(set(want) - set(flat))
+    extra = sorted(set(flat) - set(want))
+    if missing or extra:
+        raise ValueError(
+            f"npz weights do not match the generator tree: "
+            f"missing={missing[:5]} extra={extra[:5]}")
+
+    def rebuild(tree, prefix=""):
+        out = {}
+        for key, value in tree.items():
+            path = f"{prefix}/{key}" if prefix else str(key)
+            if isinstance(value, dict):
+                out[key] = rebuild(value, path)
+            else:
+                loaded = flat[path]
+                if loaded.shape != value.shape:
+                    raise ValueError(
+                        f"{path}: shape {loaded.shape} != {value.shape}")
+                out[key] = loaded.astype(value.dtype)
+        return out
+
+    return rebuild(template_vars)
