@@ -46,7 +46,7 @@ def fractal_field(ny, nx, rng, beta=2.6):
     ky = np.fft.fftfreq(ny)[:, None]
     kx = np.fft.fftfreq(nx)[None, :]
     k = np.hypot(ky, kx)
-    k[0, 0] = k.flat[np.abs(k).argsort()[1]]
+    k[0, 0] = np.partition(k.ravel(), 1)[1]  # smallest nonzero |k|
     amp = k ** (-beta / 2.0)
     phase = np.exp(2j * np.pi * rng.rand(ny, nx))
     f = np.fft.ifft2(amp * phase).real
@@ -189,7 +189,7 @@ def main():
             m = {k: float(v) for k, v in metrics.items()}
             print(f"step {step}: d={m.get('d_loss', 0):+.3f} "
                   f"g={m.get('g_loss', 0):+.3f} "
-                  f"reco={m.get('g_reconstruction', 0):.3f} "
+                  f"reco={m.get('g_reco_loss', 0):.3f} "
                   f"({time.time() - t0:.0f}s)", flush=True)
 
     os.makedirs(os.path.dirname(args.out), exist_ok=True)

@@ -84,16 +84,22 @@ def predict(
     network=None,
     key: Optional[jax.Array] = None,
     ensemble_members: int = 1,
+    noise_std: Optional[float] = None,
 ) -> Dataset:
     """Tile the merged (u10, v10, elevation) field into
     24 x 96 x 96 cubes, run the generator with fresh noise, stitch with
     overlap averaging — all in one jitted program on device
-    (replaces reference api.py:89-152)."""
+    (replaces reference api.py:89-152).
+
+    ``noise_std`` overrides the shipped model's 0.1 (api.py:28); 0.0 makes
+    the downscaling deterministic, used for cross-framework parity checks.
+    """
     network = network if network is not None else get_network()
     mcfg = network.cfg.model
     icfg = InferenceConfig(
         sequence_length=mcfg.sequence_length, image_size=mcfg.image_size,
-        noise_channels=mcfg.noise_channels, noise_std=NOISE_STD,
+        noise_channels=mcfg.noise_channels,
+        noise_std=NOISE_STD if noise_std is None else noise_std,
         overlap_factor=overlap_factor)
 
     time_vals = inputs_era5.coords["time"].values
