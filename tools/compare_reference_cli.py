@@ -324,20 +324,30 @@ def main():
     us2[:, 2:h - 2, 2:w - 2] = out_s2["u10"].values
     vs2[:, 2:h - 2, 2:w - 2] = out_s2["v10"].values
 
-    both = np.isfinite(ur_s) & np.isfinite(us)
     speed_ref = np.hypot(ur_s, vr_s)
     speed_wind = np.hypot(us, vs)
-    crop = (slice(None), slice(3, h - 3), slice(3, w - 3))
+    speed_wind2 = np.hypot(us2, vs2)
+    # Cross-framework stats are computed OUTSIDE the reference's sy==0
+    # off-by-one band (rows < IMG): inside it the reference samples rows
+    # shifted by one pixel, a documented divergence (infer/engine.py
+    # docstring) that would otherwise dominate the RMSE with trained
+    # weights.  The member-vs-member floor uses the same region.
+    safe = (slice(None), slice(IMG, None))
+    both = np.isfinite(speed_ref[safe]) & np.isfinite(speed_wind[safe])
+    crop = (slice(None), slice(IMG, h - 3), slice(3, w - 3))
     fr = np.nan_to_num(speed_ref[crop])
     fw = np.nan_to_num(speed_wind[crop])
-    fw2 = np.nan_to_num(np.hypot(us2, vs2)[crop])
+    fw2 = np.nan_to_num(speed_wind2[crop])
+    all_cov = np.isfinite(speed_ref) & np.isfinite(speed_wind)
     results["stochastic"] = {
         "ref": field_stats(ur_s, vr_s),
         "windtpu": field_stats(us, vs),
         "speed_rmse_ref_vs_windtpu": float(np.sqrt(np.mean(
-            (speed_ref[both] - speed_wind[both]) ** 2))),
+            (speed_ref[safe][both] - speed_wind[safe][both]) ** 2))),
         "speed_rmse_member_vs_member": float(np.sqrt(np.nanmean(
-            (speed_wind - np.hypot(us2, vs2)) ** 2))),
+            (speed_wind[safe] - speed_wind2[safe]) ** 2))),
+        "speed_rmse_incl_offbyone_band": float(np.sqrt(np.mean(
+            (speed_ref[all_cov] - speed_wind[all_cov]) ** 2))),
         "lsd_ref_vs_windtpu": lsd(fr, fw),
         "lsd_member_vs_member": lsd(fw, fw2),
     }
@@ -417,13 +427,16 @@ RMSE.
 | u mean | {sto['ref']['u_mean']:.4f} | {sto['windtpu']['u_mean']:.4f} |
 | v mean | {sto['ref']['v_mean']:.4f} | {sto['windtpu']['v_mean']:.4f} |
 
-Cross-framework wind-speed RMSE {sto['speed_rmse_ref_vs_windtpu']:.4f}
-vs windtpu member-vs-member (pure noise floor)
-{sto['speed_rmse_member_vs_member']:.4f}; log-spectral distance
-{sto['lsd_ref_vs_windtpu']:.3f} dB vs member-vs-member floor
-{sto['lsd_member_vs_member']:.3f} dB.  The framework difference is
-indistinguishable from re-rolling the generator noise: the BASELINE
-quality gate ("statistically matching wind-speed RMSE / spectra") holds.
+Outside the reference's sy==0 off-by-one band (a documented divergence —
+the reference feeds its bottom patch rows shifted by one pixel,
+api.py:119): cross-framework wind-speed RMSE
+{sto['speed_rmse_ref_vs_windtpu']:.4f} vs windtpu member-vs-member (pure
+noise re-roll) {sto['speed_rmse_member_vs_member']:.4f}; log-spectral
+distance {sto['lsd_ref_vs_windtpu']:.3f} dB vs member floor
+{sto['lsd_member_vs_member']:.3f} dB.  Including the off-by-one band the
+RMSE is {sto['speed_rmse_incl_offbyone_band']:.4f} — the one-pixel shift,
+not framework drift.  The BASELINE quality gate ("statistically matching
+wind-speed RMSE / spectra") holds on the shared-semantics region.
 
 ## Wall time
 

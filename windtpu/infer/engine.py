@@ -212,7 +212,24 @@ def make_tiled_predictor(
     contributed (after border cropping).
     ``apply_fn(g_vars, patches, noise) -> preds`` defaults to the Generator
     forward; injectable for testing the tiling/stitch path in isolation.
+
+    Default-``apply_fn`` predictors are memoized on the (model, inference,
+    plan) config triple — all frozen/hashable — so repeated ``predict``
+    calls over same-shaped domains reuse the compiled XLA program instead
+    of re-tracing (jit caches are per function object; without this every
+    API call paid full compilation).
     """
+    if apply_fn is None:
+        return _cached_tiled_predictor(mcfg, icfg, plan)
+    return _build_tiled_predictor(mcfg, icfg, plan, apply_fn)
+
+
+@functools.lru_cache(maxsize=32)
+def _cached_tiled_predictor(mcfg, icfg, plan):
+    return _build_tiled_predictor(mcfg, icfg, plan, None)
+
+
+def _build_tiled_predictor(mcfg, icfg, plan, apply_fn):
     predict = _build_predict(mcfg, icfg, plan, apply_fn)
     origins_g, weights_g = _grouped_origins(plan, icfg.group_size)
     origins_g = jnp.asarray(origins_g)
