@@ -159,3 +159,19 @@ class TestLayers:
         x = jnp.arange(16.0).reshape(1, 1, 4, 4, 1)
         y = L.bilinear_upsample_2x(x)
         assert y.shape == (1, 1, 8, 8, 1)
+
+
+class TestSplitStem:
+    def test_split_stem_matches_fused_concat(self):
+        """split_stem computes the entry conv as two sliced convs over the
+        SAME kernel tensor — identical function, identical param tree."""
+        import dataclasses
+
+        cfg_split = dataclasses.replace(TINY, split_stem=True)
+        cfg_fused = dataclasses.replace(TINY, split_stem=False)
+        variables = init_generator(cfg_split, jax.random.key(1), batch_size=2)
+        img, noi = _gen_inputs(TINY, seed=3)
+        out_s = Generator(cfg_split).apply(variables, img, noi, train=False)
+        out_f = Generator(cfg_fused).apply(variables, img, noi, train=False)
+        np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_f),
+                                   atol=1e-5)

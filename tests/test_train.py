@@ -144,6 +144,70 @@ def test_train_on_synthetic_pipeline():
     assert np.isfinite(history[-1][1]["g_loss"])
 
 
+def test_fused_scoring_batches_are_per_sample():
+    """fused_scoring's premise: the critic has no cross-sample ops, so
+    scoring a doubled batch equals two separate calls (same stats)."""
+    from windtpu.models.discriminator import Discriminator, init_discriminator
+
+    m = TINY.model
+    variables = init_discriminator(m, jax.random.key(0), batch_size=2)
+    k1, k2, k3 = jax.random.split(jax.random.key(4), 3)
+    t, i = m.sequence_length, m.image_size
+    lr = jax.random.normal(k1, (2, t, i, i, m.in_channels))
+    hr_a = jax.random.normal(k2, (2, t, i, i, m.out_channels))
+    hr_b = jax.random.normal(k3, (2, t, i, i, m.out_channels))
+    model = Discriminator(m)
+
+    def score(lo, hi):
+        out, _ = model.apply(variables, lo, hi, train=True,
+                             mutable=["spectral_stats"])
+        return np.asarray(out)
+
+    both = score(jnp.concatenate([lr, lr]), jnp.concatenate([hr_a, hr_b]))
+    np.testing.assert_allclose(both[:2], score(lr, hr_a), atol=1e-5)
+    np.testing.assert_allclose(both[2:], score(lr, hr_b), atol=1e-5)
+
+
+def test_fused_scoring_step_close_to_unfused():
+    """One train step with fused_scoring differs from unfused only by the
+    spectral-norm u advancing once instead of twice per critic iter — the
+    losses must stay close."""
+    import dataclasses
+
+    lr, hr = _batch(TINY, seed=13)
+    rng = jax.random.key(2)
+    cfg_f = dataclasses.replace(
+        TINY, train=dataclasses.replace(TINY.train, fused_scoring=True))
+    _, m0 = make_train_step(TINY)(create_train_state(TINY), lr, hr, rng)
+    _, m1 = make_train_step(cfg_f)(create_train_state(cfg_f), lr, hr, rng)
+    for k in ("d_loss", "g_loss", "d_gradient_pen"):
+        a, b = float(m0[k]), float(m1[k])
+        assert abs(a - b) <= 1e-2 * max(1.0, abs(a)), (k, a, b)
+
+
+@pytest.mark.parametrize("remat,remat_gp", [
+    (False, True), (True, True), ("save_scans", True),
+    ("d_only", True), ("d_only", False),
+])
+def test_remat_modes_are_semantics_preserving(remat, remat_gp):
+    """Rematerialization trades memory for recompute; every mode must
+    produce the same losses as no-remat to float tolerance."""
+    import dataclasses
+
+    lr, hr = _batch(TINY, seed=21)
+    rng = jax.random.key(5)
+    base = dataclasses.replace(
+        TINY, train=dataclasses.replace(TINY.train, remat=False))
+    cfg = dataclasses.replace(
+        TINY, train=dataclasses.replace(TINY.train, remat=remat,
+                                        remat_gp=remat_gp))
+    _, m0 = make_train_step(base)(create_train_state(base), lr, hr, rng)
+    _, m1 = make_train_step(cfg)(create_train_state(cfg), lr, hr, rng)
+    for k in ("d_loss", "g_loss", "d_gradient_pen", "g_gradient_param"):
+        np.testing.assert_allclose(float(m0[k]), float(m1[k]), rtol=1e-4,
+                                   err_msg=k)
+
+
 def test_generator_npz_roundtrip(tmp_path):
     """Bundled single-file weights: save -> load restores every leaf
     bit-exactly, and mismatched trees fail loudly."""

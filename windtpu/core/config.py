@@ -40,6 +40,22 @@ class ModelConfig:
     # Computation dtype for the conv stack.  Parameters are always float32;
     # bfloat16 here feeds the MXU at double rate.
     compute_dtype: str = "float32"
+    # Compute the entry stem as conv(img) + conv(noise) with one sliced
+    # kernel tensor instead of one conv over the concat buffer — the same
+    # function (linear in channels; checkpoints unaffected,
+    # tests/test_models.py::TestSplitStem).  ~14% faster on the isolated
+    # inference stem (no (B*T,I,I,30) concat buffer in HBM,
+    # tools/ablate_noise_fusion.py); within noise at the full train step.
+    split_stem: bool = True
+    # lax.scan unroll factor for the CRITIC's ConvLSTM recurrences.  The
+    # critic's narrow-channel scans (F=2/16) are kernel-launch-bound, and
+    # they sit inside the twice-differentiated gradient-penalty path, so
+    # unrolling them lets XLA fuse across timesteps: 2x on the GP
+    # double-grad, 1.6x on the whole train step at T=6
+    # (tools/ablate_step.py).  0 = unroll fully (sequence_length).  The
+    # generator's wide (128-ch) scan gains nothing from unrolling and is
+    # left rolled to keep compile time down.
+    critic_scan_unroll: int = 0
 
     def __post_init__(self):
         if self.image_size % 4 != 0:
@@ -78,12 +94,29 @@ class TrainConfig:
     compute_metrics: bool = True
     # Rematerialize network forwards in the loss functions
     # (jax.checkpoint): trades recompute FLOPs for HBM, the difference
-    # between fitting batch 64 on one chip or not.  True = both networks
-    # (0.97 steps/s @ batch 64/v5e), "d_only" = critic only (same speed,
-    # less headroom), False = off (1.13 steps/s but OOMs at batch 64 with
-    # in-step metrics), "save_scans" = remat everything EXCEPT the serial
-    # ConvLSTM outputs (skips the costly scan recompute in backward).
-    remat: "bool | str" = "save_scans"
+    # between fitting batch 64 on one chip or not.  "d_only" = critic only
+    # (the critic's LayerNorm temps dominate peak HBM; the generator's
+    # activations are cheap to keep), True = both networks, False = off
+    # (OOMs at batch 64 with in-step metrics), "save_scans" = remat both
+    # EXCEPT the serial ConvLSTM outputs.  Measured @ batch 64/64px/T=6 on
+    # v5e: d_only 0.93 steps/s vs save_scans 0.81 (remat_gp/fused_scoring
+    # held at their slow settings); 1.41 with all three defaults below.
+    # All modes are semantics-preserving
+    # (tests/test_train.py::test_remat_modes_are_semantics_preserving).
+    remat: "bool | str" = "d_only"
+    # Apply the remat policy inside the gradient-penalty double-grad too.
+    # The GP path is differentiated twice, so rematerialization recomputes
+    # its forwards twice over; False exempts it from the policy, trading
+    # HBM for a large cut of the dominant cost (+17% steps/s on the
+    # primary bench shape; the GP is ~half the step, tools/ablate_step.py).
+    remat_gp: bool = False
+    # Score real+noise and fake+noise in ONE critic call on the doubled
+    # batch instead of two calls (LayerNorm is per-sample and the critic
+    # has no BatchNorm, so the math is identical; the only drift is the
+    # spectral-norm u advancing once instead of twice per critic iter —
+    # bounded by tests/test_train.py::test_fused_scoring_step_close_to_
+    # unfused).  +8% steps/s on the primary bench shape.
+    fused_scoring: bool = True
     # Compute the (expensive) spatial KS metric in-step.
     compute_spatial_ks: bool = False
 

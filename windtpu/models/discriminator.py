@@ -83,16 +83,20 @@ class Discriminator(nn.Module):
         low_res = low_res.astype(dtype)
         high_res = high_res.astype(dtype)
 
+        unroll = (getattr(cfg, "critic_scan_unroll", 0)
+                  or cfg.sequence_length)
+
         # Branch A: high-res only.
         hr = L.ConvLSTM(cfg.out_channels, (3, 3), dtype=dtype,
-                        name="hr_convlstm")(high_res)
+                        unroll=unroll, name="hr_convlstm")(high_res)
         hr = L.TimeConv(f, (3, 3), padding="SAME", update_sn_stats=train,
                         dtype=dtype, name="hr_conv")(hr)
         hr = L.KerasLayerNorm(dtype=dtype, name="hr_ln")(hr)
 
         # Branch B: both inputs.
         mix = jnp.concatenate([low_res, high_res], axis=-1)
-        mix = L.ConvLSTM(f, (3, 3), dtype=dtype, name="mix_convlstm")(mix)
+        mix = L.ConvLSTM(f, (3, 3), dtype=dtype, unroll=unroll,
+                         name="mix_convlstm")(mix)
         mix = L.TimeConv(f, (3, 3), padding="SAME", update_sn_stats=train,
                          dtype=dtype, name="mix_conv")(mix)
         mix = L.KerasLayerNorm(dtype=dtype, name="mix_ln")(mix)

@@ -49,7 +49,9 @@ class Generator(nn.Module):
         x = jnp.concatenate([image, noise], axis=-1).astype(dtype)
 
         x = L.TimeConv(intermediate, (8, 8), strides=(2, 2), padding=3,
-                       update_sn_stats=train, dtype=dtype, name="down1")(x)
+                       update_sn_stats=train, dtype=dtype, name="down1",
+                       split_input_at=(cfg.in_channels if cfg.split_stem
+                                       else 0))(x)
         x = L.TimeBatchNorm(use_running_average=not train, dtype=dtype,
                             name="bn1")(x)
         res_2 = x

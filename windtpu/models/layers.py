@@ -110,6 +110,13 @@ class TimeConv(nn.Module):
     activation: Optional[Callable] = leaky_relu
     update_sn_stats: bool = True
     dtype: Optional[Dtype] = None
+    # Compute the conv as conv(x[..:s]) + conv(x[..s:]) with the SAME
+    # parameter tensor sliced along the input-channel axis — numerically the
+    # same function (convolution is linear in channels), but XLA lays the
+    # two operands out separately, which measures ~14% faster on the
+    # generator's entry stem than one conv over the fused concat buffer
+    # (tools/ablate_noise_fusion.py).  0 disables.
+    split_input_at: int = 0
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -132,12 +139,21 @@ class TimeConv(nn.Module):
             bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
             kernel = SpectralNorm(update_stats=self.update_sn_stats, name="sn")(kernel)
             dt = self.dtype or folded.dtype
-            y = jax.lax.conv_general_dilated(
-                folded.astype(dt), kernel.astype(dt),
-                window_strides=self.strides,
-                padding=pad if not isinstance(pad, str) else pad,
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            )
+
+            def run_conv(inp, ker):
+                return jax.lax.conv_general_dilated(
+                    inp.astype(dt), ker.astype(dt),
+                    window_strides=self.strides,
+                    padding=pad if not isinstance(pad, str) else pad,
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
+
+            s = self.split_input_at
+            if 0 < s < folded.shape[-1]:
+                y = run_conv(folded[..., :s], kernel[:, :, :s]) \
+                    + run_conv(folded[..., s:], kernel[:, :, s:])
+            else:
+                y = run_conv(folded, kernel)
             y = y + bias.astype(y.dtype)
         else:
             y = conv(folded)
@@ -265,6 +281,11 @@ class ConvLSTM(nn.Module):
     # recurrent activation; Keras 3 changed the default to sigmoid.
     recurrent_activation: str = "hard_sigmoid"
     dtype: Optional[Dtype] = None
+    # lax.scan unroll factor.  Narrow-channel recurrences (the critic's
+    # F=2/16 branches) are launch-overhead-bound: unrolling lets XLA fuse
+    # across timesteps — measured 2x on the critic fwd+bwd and the GP
+    # double-grad at T=6 (tools/ablate_step.py).  Semantically a no-op.
+    unroll: int = 1
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -341,7 +362,8 @@ class ConvLSTM(nn.Module):
             h_new = o * jnp.tanh(c)
             return (h_new, c), h_new
 
-        (_, _), ys = jax.lax.scan(step, (h0, c0), zx_tmajor)
+        (_, _), ys = jax.lax.scan(step, (h0, c0), zx_tmajor,
+                                  unroll=max(1, self.unroll))
         if nchw:
             out = jnp.transpose(ys, (1, 0, 3, 4, 2))  # -> (B, T, H, W, F)
         else:

@@ -105,9 +105,10 @@ def make_train_step(
     # LayerNorm temps dominate peak HBM (batch 64 OOMs without this);
     # remat'ing the generator too costs ~16% step time for little memory,
     # so "d_only" is the default.
-    remat = getattr(tcfg, "remat", "save_scans")
+    remat = getattr(tcfg, "remat", "d_only")
     _g_train = lambda gp, gs, lr, n: g_fwd(gp, gs, lr, n, True)  # noqa: E731
     _d_train = lambda dp, sp, lr, hr: d_fwd(dp, sp, lr, hr, True)  # noqa: E731
+    _d_raw = _d_train
     if remat is True:
         _g_train = jax.checkpoint(_g_train)
         _d_train = jax.checkpoint(_d_train)
@@ -120,6 +121,10 @@ def make_train_step(
             "convlstm_out")
         _g_train = jax.checkpoint(_g_train, policy=policy)
         _d_train = jax.checkpoint(_d_train, policy=policy)
+    # The GP critic call is differentiated TWICE (grad wrt image inside
+    # grad wrt params), so remat there recomputes forwards quadratically;
+    # remat_gp=False exempts it from the policy.
+    _d_gp = _d_train if getattr(tcfg, "remat_gp", True) else _d_raw
 
     def train_step(state: GANTrainState, low_res, high_res, rng):
         b = low_res.shape[0]
@@ -158,7 +163,7 @@ def make_train_step(
                 # image input (grad-of-grad w.r.t. dp when this whole
                 # function is differentiated).
                 def critic_on_image(x):
-                    scores, sp = _d_train(dp, d_sp, low_res, x)
+                    scores, sp = _d_gp(dp, d_sp, low_res, x)
                     return jnp.sum(scores), sp
 
                 grads_img, d_sp1 = jax.grad(
@@ -167,8 +172,20 @@ def make_train_step(
                     grads_img, tcfg.gp_weight)
                 if _detach_gp:
                     penalty = jax.lax.stop_gradient(penalty)
-                rs, d_sp2 = _d_train(dp, d_sp1, low_res, high_res + inst_r)
-                fs, d_sp3 = _d_train(dp, d_sp2, low_res, fake + inst_f)
+                if getattr(tcfg, "fused_scoring", False):
+                    # One critic call on the doubled batch: identical math
+                    # (no cross-sample ops in the critic) at half the
+                    # kernel launches.
+                    both, d_sp3 = _d_train(
+                        dp, d_sp1,
+                        jnp.concatenate([low_res, low_res], axis=0),
+                        jnp.concatenate(
+                            [high_res + inst_r, fake + inst_f], axis=0))
+                    rs, fs = both[:b], both[b:]
+                else:
+                    rs, d_sp2 = _d_train(dp, d_sp1, low_res,
+                                         high_res + inst_r)
+                    fs, d_sp3 = _d_train(dp, d_sp2, low_res, fake + inst_f)
                 loss = discriminator_loss(rs, fs) + penalty
                 return loss, (d_sp3, mean_norm)
 
