@@ -175,3 +175,24 @@ class TestSplitStem:
         out_f = Generator(cfg_fused).apply(variables, img, noi, train=False)
         np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_f),
                                    atol=1e-5)
+
+
+class TestCriticScanUnroll:
+    @pytest.mark.parametrize("unroll", [1, 2])
+    def test_unroll_matches_rolled(self, unroll):
+        """lax.scan unroll is a scheduling choice, not a math change: critic
+        scores must match the fully-rolled recurrence for any factor
+        (including non-divisors of T)."""
+        import dataclasses
+
+        cfg_rolled = dataclasses.replace(TINY, critic_scan_unroll=1)
+        cfg_u = dataclasses.replace(TINY, critic_scan_unroll=unroll)
+        variables = init_discriminator(cfg_rolled, jax.random.key(2),
+                                       batch_size=2)
+        k1, k2 = jax.random.split(jax.random.key(8))
+        t, i = TINY.sequence_length, TINY.image_size
+        lr = jax.random.normal(k1, (2, t, i, i, TINY.in_channels))
+        hr = jax.random.normal(k2, (2, t, i, i, TINY.out_channels))
+        s0 = Discriminator(cfg_rolled).apply(variables, lr, hr, train=False)
+        s1 = Discriminator(cfg_u).apply(variables, lr, hr, train=False)
+        np.testing.assert_allclose(np.asarray(s0), np.asarray(s1), atol=1e-5)

@@ -237,3 +237,58 @@ def test_generator_npz_roundtrip(tmp_path):
         jax.random.key(0))
     with pytest.raises(ValueError):
         load_generator_npz(path, jax.device_get(other))
+
+
+def test_multi_step_matches_single_steps():
+    """steps_per_call scans K steps in one program; the PRNG folds by
+    state.step, so results must be IDENTICAL to K single calls."""
+    from windtpu.train.wgan_gp import make_multi_train_step
+
+    lr, hr = _batch(TINY, seed=31)
+    rng = jax.random.key(17)
+
+    s_single = create_train_state(TINY)
+    step = make_train_step(TINY)
+    for _ in range(2):
+        s_single, m_single = step(s_single, lr, hr, rng)
+
+    s_multi = create_train_state(TINY)
+    multi = make_multi_train_step(TINY, 2)
+    lr2 = jnp.stack([lr, lr])
+    hr2 = jnp.stack([hr, hr])
+    s_multi, m_multi = multi(s_multi, lr2, hr2, rng)
+
+    assert int(s_multi.step) == int(s_single.step) == 2
+    for k in ("g_loss", "d_loss", "d_gradient_pen"):
+        np.testing.assert_allclose(float(m_single[k]), float(m_multi[k]),
+                                   rtol=1e-5, err_msg=k)
+    # atol covers XLA fusion-order float noise between the scanned and
+    # per-call programs (observed max |delta| ~2e-10 on ~1e-4 params).
+    for a, b in zip(jax.tree_util.tree_leaves(s_single.g_params),
+                    jax.tree_util.tree_leaves(s_multi.g_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-8)
+
+
+def test_loop_steps_per_call_with_remainder():
+    """Train loop with steps_per_call=2 over num_steps=3: one scanned call
+    plus one single-step remainder call, still 3 optimizer steps."""
+    import dataclasses
+
+    from windtpu.train.loop import train
+
+    dcfg = DataConfig(sequence_length=2, patch_size=24, batch_size=2,
+                      input_variables=("u10", "v10", "elevation"),
+                      output_variables=("U_10M", "V_10M"))
+    tcfg = dataclasses.replace(TINY.train, steps_per_call=2)
+    cfg = GANConfig(model=TINY.model, train=tcfg, data=dcfg)
+    dates = ["20200101", "20200102"]
+    bg = BatchGenerator(
+        SyntheticDayProvider(dates, dcfg.input_variables, ny=32, nx=32, nt=4),
+        output_provider=SyntheticDayProvider(
+            dates, dcfg.output_variables, ny=32, nx=32, nt=4, seed=9),
+        config=dcfg, seed=0,
+    )
+    state, history = train(cfg, iter(bg), num_steps=3, log_every=1)
+    assert int(state.step) == 3
+    assert np.isfinite(history[-1][1]["g_loss"])

@@ -99,6 +99,10 @@ def _build_predict(
     seq = plan.sequence_length
     crop = icfg.border_crop
     group = icfg.group_size
+
+    def _scan_unroll(n_groups: int) -> int:
+        u = getattr(icfg, "scan_unroll", 0)
+        return n_groups if u <= 0 else min(u, n_groups)
     if apply_fn is None:
         model = Generator(mcfg)
         apply_fn = lambda v, x, n: model.apply(v, x, n, train=False)  # noqa: E731
@@ -135,7 +139,9 @@ def _build_predict(
         stat_shape = (img, c) if icfg.replicate_normalization_quirk else (c,)
         init = (jnp.zeros(stat_shape), jnp.zeros(stat_shape),
                 jnp.zeros(stat_shape))
-        (s, s2, n), _ = jax.lax.scan(body, init, (origins_g, weights_g))
+        (s, s2, n), _ = jax.lax.scan(
+            body, init, (origins_g, weights_g),
+            unroll=_scan_unroll(origins_g.shape[0]))
         if psum_axis is not None:
             s = jax.lax.psum(s, psum_axis)
             s2 = jax.lax.psum(s2, psum_axis)
@@ -166,28 +172,27 @@ def _build_predict(
             preds = preds[:, :, crop:img - crop, crop:img - crop, :]
             preds = preds * w[:, None, None, None, None]
 
-            def add_one(i, cc):
-                canvas, counts = cc
+            # Static per-patch stitch loop (group_size patches): each
+            # iteration is a pair of tiny dynamic slice/update ops, so a
+            # rolled fori_loop serializes on launch overhead.
+            size = (seq, img - 2 * crop, img - 2 * crop, mcfg.out_channels)
+            csize = size[:-1] + (1,)
+            for i in range(group):
                 sx, sy, k = origins[i, 0], origins[i, 1], origins[i, 2]
                 at = (k * seq, sy + crop, sx + crop, 0)
-                size = (seq, img - 2 * crop, img - 2 * crop,
-                        mcfg.out_channels)
                 cur = jax.lax.dynamic_slice(canvas, at, size)
                 canvas = jax.lax.dynamic_update_slice(
                     canvas, cur + preds[i], at)
-                csize = size[:-1] + (1,)
                 ccur = jax.lax.dynamic_slice(counts, at, csize)
                 counts = jax.lax.dynamic_update_slice(
                     counts, ccur + w[i], at)
-                return canvas, counts
-
-            canvas, counts = jax.lax.fori_loop(
-                0, group, add_one, (canvas, counts))
             return (canvas, counts), None
 
         num_groups = origins_g.shape[0]
         xs = (jnp.arange(num_groups, dtype=jnp.int32), origins_g, weights_g)
-        (canvas, counts), _ = jax.lax.scan(group_body, (canvas, counts), xs)
+        (canvas, counts), _ = jax.lax.scan(
+            group_body, (canvas, counts), xs,
+            unroll=_scan_unroll(num_groups))
         if psum_axis is not None:
             canvas = jax.lax.psum(canvas, psum_axis)
             counts = jax.lax.psum(counts, psum_axis)

@@ -17,7 +17,7 @@ import numpy as np
 from windtpu.core.config import GANConfig
 from windtpu.train import checkpoint as ckpt
 from windtpu.train.state import GANTrainState, create_train_state
-from windtpu.train.wgan_gp import make_train_step
+from windtpu.train.wgan_gp import make_multi_train_step, make_train_step
 
 
 def train(
@@ -45,25 +45,44 @@ def train(
         metrics_logger = MetricsLogger(
             f"{cfg.checkpoint_dir}/metrics.jsonl")
 
-    step_fn = make_train_step(cfg)
+    # K steps per device call (TrainConfig.steps_per_call): K batches are
+    # stacked host-side and scanned inside one program; the noise/step
+    # sequence is bit-identical to K single calls (the step folds the
+    # PRNG by state.step).  A remainder of num_steps % K runs through a
+    # separately-jitted single step.
+    k = max(1, getattr(cfg.train, "steps_per_call", 1))
+    step_fn = (make_multi_train_step(
+        cfg, k, unroll=getattr(cfg.train, "steps_per_call_unroll", False))
+        if k > 1 else make_train_step(cfg))
+    single_fn = make_train_step(cfg) if (k > 1 and num_steps % k) else None
     rng = jax.random.key(cfg.seed + 1)
     history = []
     it = iter(batches)
     t_last = time.perf_counter()
-    for local_step in range(num_steps):
-        low_res, high_res = next(it)
-        if profile_dir and local_step == 2:
+    local_step = 0
+    while local_step < num_steps:
+        this_k = k if (num_steps - local_step) >= k else 1
+        if this_k > 1:
+            pairs = [next(it) for _ in range(k)]
+            low_res = np.stack([np.asarray(p[0]) for p in pairs])
+            high_res = np.stack([np.asarray(p[1]) for p in pairs])
+            fn = step_fn
+        else:
+            low_res, high_res = next(it)
+            fn = single_fn or step_fn
+        if profile_dir and local_step == 2 * this_k:
             jax.profiler.start_trace(profile_dir)
-        state, metrics = step_fn(state, low_res, high_res, rng)
-        if profile_dir and local_step == 4:
+        state, metrics = fn(state, low_res, high_res, rng)
+        if profile_dir and local_step == 4 * this_k:
             jax.tree_util.tree_map(
                 lambda x: x.block_until_ready(), metrics)
             jax.profiler.stop_trace()
-        if (local_step + 1) % log_every == 0 or local_step == 0:
+        local_step += this_k
+        if local_step % log_every == 0 or local_step == this_k:
             metrics = {k: float(v) for k, v in metrics.items()}
             now = time.perf_counter()
             metrics["steps_per_sec"] = (
-                1.0 if local_step == 0 else log_every / (now - t_last))
+                1.0 if local_step == this_k else log_every / (now - t_last))
             t_last = now
             history.append((int(state.step), metrics))
             if metrics_logger:
@@ -74,7 +93,7 @@ def train(
                 msg = " ".join(f"{k}={v:.4g}" for k, v in metrics.items())
                 print(f"step {int(state.step)}: {msg}")
         if (cfg.checkpoint_dir and checkpoint_every
-                and (local_step + 1) % checkpoint_every == 0):
+                and local_step % checkpoint_every == 0):
             ckpt.save_checkpoint(cfg.checkpoint_dir, state)
     if cfg.checkpoint_dir:
         ckpt.save_checkpoint(cfg.checkpoint_dir, state)
