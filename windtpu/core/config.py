@@ -42,11 +42,14 @@ class ModelConfig:
     compute_dtype: str = "float32"
     # Compute the entry stem as conv(img) + conv(noise) with one sliced
     # kernel tensor instead of one conv over the concat buffer — the same
-    # function (linear in channels; checkpoints unaffected,
-    # tests/test_models.py::TestSplitStem).  ~14% faster on the isolated
-    # inference stem (no (B*T,I,I,30) concat buffer in HBM,
-    # tools/ablate_noise_fusion.py); within noise at the full train step.
-    split_stem: bool = True
+    # function in exact arithmetic (linear in channels; checkpoints
+    # unaffected, tests/test_models.py::TestSplitStem).  ~14% faster on
+    # the ISOLATED inference stem (no (B*T,I,I,30) concat buffer in HBM,
+    # tools/ablate_noise_fusion.py) but within noise at the full train
+    # step and forward (the stem is ~1% of the generator), and in
+    # bfloat16 the two partial sums round once more than the fused conv.
+    # Off by default: not worth a bit-level divergence.
+    split_stem: bool = False
     # lax.scan unroll factor for the CRITIC's ConvLSTM recurrences.  The
     # critic's narrow-channel scans (F=2/16) are kernel-launch-bound, and
     # they sit inside the twice-differentiated gradient-penalty path, so

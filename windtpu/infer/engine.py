@@ -101,7 +101,7 @@ def _build_predict(
     group = icfg.group_size
 
     def _scan_unroll(n_groups: int) -> int:
-        u = getattr(icfg, "scan_unroll", 0)
+        u = getattr(icfg, "scan_unroll", 4)  # match the dataclass default
         return n_groups if u <= 0 else min(u, n_groups)
     if apply_fn is None:
         model = Generator(mcfg)

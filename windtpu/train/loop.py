@@ -59,7 +59,10 @@ def train(
     history = []
     it = iter(batches)
     t_last = time.perf_counter()
+    steps_since_log = 0
     local_step = 0
+    call_idx = 0
+    profiling = False
     while local_step < num_steps:
         this_k = k if (num_steps - local_step) >= k else 1
         if this_k > 1:
@@ -70,31 +73,47 @@ def train(
         else:
             low_res, high_res = next(it)
             fn = single_fn or step_fn
-        if profile_dir and local_step == 2 * this_k:
+        # Profile device calls 2..3 (past compilation), counted in CALLS —
+        # a call is the unit the profiler sees regardless of stride.
+        if profile_dir and call_idx == 2:
             jax.profiler.start_trace(profile_dir)
+            profiling = True
         state, metrics = fn(state, low_res, high_res, rng)
-        if profile_dir and local_step == 4 * this_k:
+        if profiling and call_idx == 3:
             jax.tree_util.tree_map(
                 lambda x: x.block_until_ready(), metrics)
             jax.profiler.stop_trace()
+            profiling = False
+        prev = local_step
         local_step += this_k
-        if local_step % log_every == 0 or local_step == this_k:
-            metrics = {k: float(v) for k, v in metrics.items()}
+        steps_since_log += this_k
+        call_idx += 1
+        # Stride-aware cadences: fire when a multiple was CROSSED, not
+        # only when it is landed on exactly (k need not divide the
+        # cadence).  steps_per_sec uses the actual steps since last log.
+        if (prev // log_every != local_step // log_every
+                or local_step == this_k):
+            metrics = {key: float(v) for key, v in metrics.items()}
             now = time.perf_counter()
             metrics["steps_per_sec"] = (
-                1.0 if local_step == this_k else log_every / (now - t_last))
+                1.0 if local_step == this_k
+                else steps_since_log / (now - t_last))
             t_last = now
+            steps_since_log = 0
             history.append((int(state.step), metrics))
             if metrics_logger:
                 metrics_logger(int(state.step), metrics)
             if log_fn:
                 log_fn(int(state.step), metrics)
             else:
-                msg = " ".join(f"{k}={v:.4g}" for k, v in metrics.items())
+                msg = " ".join(f"{key}={v:.4g}"
+                               for key, v in metrics.items())
                 print(f"step {int(state.step)}: {msg}")
         if (cfg.checkpoint_dir and checkpoint_every
-                and local_step % checkpoint_every == 0):
+                and prev // checkpoint_every != local_step // checkpoint_every):
             ckpt.save_checkpoint(cfg.checkpoint_dir, state)
+    if profiling:  # num_steps ended inside the trace window
+        jax.profiler.stop_trace()
     if cfg.checkpoint_dir:
         ckpt.save_checkpoint(cfg.checkpoint_dir, state)
     if metrics_logger:
