@@ -71,3 +71,35 @@ def test_reconstruction_loss_in_train_step():
     _, metrics = step(state, lr, hr, jax.random.key(2))
     assert float(metrics["g_reco_loss"]) > 0.0
     assert np.isfinite(float(metrics["g_loss"]))
+
+
+def test_features_encoder_loads_bundled(tmp_path, monkeypatch, capsys):
+    """At the flagship geometry, get_encoder_fn falls back to the bundled
+    autoencoder-synth.npz (the reference ships no autoencoder weights and
+    warns into random init; windtpu's perceptual loss works out of the
+    box)."""
+    import pathlib
+
+    from windtpu import features
+
+    bundled = (pathlib.Path(features.__file__).parent / "assets"
+               / "weights" / "autoencoder-synth.npz")
+    if not bundled.exists():
+        import pytest
+        pytest.skip("bundled autoencoder weights not present")
+    monkeypatch.setenv("CHECKPOINT_ROOT", str(tmp_path))  # no orbax ckpt
+    features._cache.clear()
+    enc = features.get_encoder_fn(96, 2, 96)
+    assert "warning" not in capsys.readouterr().out
+    z = np.asarray(enc(jnp.zeros((1, 2, 96, 96, 2))))
+    assert z.shape == (1, 2, 96)
+    assert np.isfinite(z).all()
+    # Bundled weights, not random init: encoding of a nonzero field must
+    # differ from the fresh-init encoder's.
+    model, variables = features.build_autoencoder(96, 2, 96)
+    x = jax.random.normal(jax.random.key(3), (1, 2, 96, 96, 2))
+    z_bundled = np.asarray(enc(x))
+    z_random = np.asarray(model.apply(
+        variables, x, train=False, method=type(model).encode))
+    assert not np.allclose(z_bundled, z_random)
+    features._cache.clear()

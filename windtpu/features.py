@@ -4,9 +4,15 @@ Equivalent of the reference's features_encoding module
 (autoencoder/features_encoding.py:6-19): build the autoencoder, load its
 checkpoint from ``$CHECKPOINT_ROOT/autoencoder``, and expose the encoder as
 the feature extractor for the reconstruction loss (gan/train.py:19-26).
-Lazy: nothing loads until requested, and a random-init encoder is returned
-(with a warning) when no checkpoint exists — the reference's autoencoder
-checkpoint is not shipped either.
+Lazy: nothing loads until requested.  Resolution order:
+
+1. newest ``$CHECKPOINT_ROOT/autoencoder`` orbax checkpoint (the
+   reference's only mechanism);
+2. the bundled ``assets/weights/autoencoder-synth.npz`` (trained by
+   tools/train_shipped_autoencoder.py — the reference ships no
+   autoencoder weights, so its perceptual loss cannot run out of the
+   box; windtpu's can);
+3. random init, with a warning.
 """
 
 from __future__ import annotations
@@ -47,6 +53,7 @@ def get_encoder_fn(image_size: int = 96, time_steps: int = 24,
         return _cache[key]
     model, variables = build_autoencoder(*key)
     ckpt_dir = checkpoint_path()
+    loaded = False
     if ckpt_dir.is_dir():
         import orbax.checkpoint as ocp
 
@@ -55,9 +62,25 @@ def get_encoder_fn(image_size: int = 96, time_steps: int = 24,
         if steps:
             variables = ocp.StandardCheckpointer().restore(
                 str((ckpt_dir / steps[-1]).resolve()), variables)
-    else:
-        print(f"warning: no autoencoder checkpoint at {ckpt_dir}; "
-              "encoder uses random initialization")
+            loaded = True
+    if not loaded:
+        bundled = (Path(__file__).parent / "assets" / "weights"
+                   / "autoencoder-synth.npz")
+        if bundled.exists():
+            try:
+                from windtpu.train.checkpoint import load_generator_npz
+
+                variables = load_generator_npz(
+                    bundled, jax.device_get(variables))
+                loaded = True
+            except ValueError:
+                # Bundled weights were trained at the flagship geometry;
+                # other image_size/latent shapes fall through to random.
+                pass
+    if not loaded:
+        print(f"warning: no autoencoder checkpoint at {ckpt_dir} and no "
+              "matching bundled weights; encoder uses random "
+              "initialization")
 
     def encode(x):
         return model.apply(variables, x, train=False,
