@@ -96,17 +96,17 @@ class TrainConfig:
     # (reference recomputes with training=False, ganbase.py:63-72).
     compute_metrics: bool = True
     # Rematerialize network forwards in the loss functions
-    # (jax.checkpoint): trades recompute FLOPs for HBM, the difference
-    # between fitting batch 64 on one chip or not.  "d_only" = critic only
-    # (the critic's LayerNorm temps dominate peak HBM; the generator's
-    # activations are cheap to keep), True = both networks, False = off
-    # (OOMs at batch 64 with in-step metrics), "save_scans" = remat both
-    # EXCEPT the serial ConvLSTM outputs.  Measured @ batch 64/64px/T=6 on
-    # v5e: d_only 0.93 steps/s vs save_scans 0.81 (remat_gp/fused_scoring
-    # held at their slow settings); 1.41 with all three defaults below.
-    # All modes are semantics-preserving
+    # (jax.checkpoint): trades recompute FLOPs for HBM.  False = off,
+    # "d_only" = critic only, True = both networks, "save_scans" = both
+    # EXCEPT the serial ConvLSTM outputs.  History: before fused_scoring
+    # and the critic scan unroll, batch 64 OOM'd without critic remat;
+    # with them the primary (batch 64/64px/T=6) AND flagship (batch
+    # 2/96px/T=24) shapes fit un-remat'd, and False is fastest (2.30
+    # steps/s vs d_only 2.24 vs save_scans ~1.8 on v5e) with less than
+    # half the compile time.  If a larger config OOMs, set "d_only"
+    # first.  All modes are semantics-preserving
     # (tests/test_train.py::test_remat_modes_are_semantics_preserving).
-    remat: "bool | str" = "d_only"
+    remat: "bool | str" = False
     # Apply the remat policy inside the gradient-penalty double-grad too.
     # The GP path is differentiated twice, so rematerialization recomputes
     # its forwards twice over; False exempts it from the policy, trading

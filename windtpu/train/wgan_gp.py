@@ -100,12 +100,13 @@ def make_train_step(
             return out, mut["spectral_stats"]
         return model_d.apply(variables, lr, hr, train=False), d_sp
 
-    # Rematerialization: recompute forwards in the backward pass instead of
-    # holding activations across the unrolled n_critic loop.  The critic's
-    # LayerNorm temps dominate peak HBM (batch 64 OOMs without this);
-    # remat'ing the generator too costs ~16% step time for little memory,
-    # so "d_only" is the default.
-    remat = getattr(tcfg, "remat", "d_only")
+    # Rematerialization: recompute forwards in the backward pass instead
+    # of holding activations across the unrolled n_critic loop.  Since
+    # fused_scoring and the critic scan unroll cut peak HBM, the bench
+    # and flagship shapes fit with remat off (the fastest mode, the
+    # default); "d_only" is the first fallback when a larger config OOMs
+    # (the critic's LayerNorm temps dominate peak HBM).
+    remat = getattr(tcfg, "remat", False)
     _g_train = lambda gp, gs, lr, n: g_fwd(gp, gs, lr, n, True)  # noqa: E731
     _d_train = lambda dp, sp, lr, hr: d_fwd(dp, sp, lr, hr, True)  # noqa: E731
     _d_raw = _d_train
