@@ -103,8 +103,10 @@ class TrainConfig:
     # with them the primary (batch 64/64px/T=6) AND flagship (batch
     # 2/96px/T=24) shapes fit un-remat'd, and False is fastest (2.30
     # steps/s vs d_only 2.24 vs save_scans ~1.8 on v5e) with less than
-    # half the compile time.  If a larger config OOMs, set "d_only"
-    # first.  All modes are semantics-preserving
+    # half the compile time.  OOM escalation ladder: remat="d_only",
+    # then remat_gp=True (the GP double-grad call is exempted from every
+    # remat policy by default — see below), then remat=True.  All modes
+    # are semantics-preserving
     # (tests/test_train.py::test_remat_modes_are_semantics_preserving).
     remat: "bool | str" = False
     # Apply the remat policy inside the gradient-penalty double-grad too.

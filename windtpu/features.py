@@ -77,6 +77,9 @@ def get_encoder_fn(image_size: int = 96, time_steps: int = 24,
                 # Bundled weights were trained at the flagship geometry;
                 # other image_size/latent shapes fall through to random.
                 pass
+            except Exception as e:  # corrupt/unreadable file: degrade
+                print(f"warning: bundled autoencoder weights unreadable "
+                      f"({e!r}); falling back")
     if not loaded:
         print(f"warning: no autoencoder checkpoint at {ckpt_dir} and no "
               "matching bundled weights; encoder uses random "

@@ -143,8 +143,7 @@ class TimeConv(nn.Module):
             def run_conv(inp, ker):
                 return jax.lax.conv_general_dilated(
                     inp.astype(dt), ker.astype(dt),
-                    window_strides=self.strides,
-                    padding=pad if not isinstance(pad, str) else pad,
+                    window_strides=self.strides, padding=pad,
                     dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 )
 

@@ -50,11 +50,25 @@ def train(
     # sequence is bit-identical to K single calls (the step folds the
     # PRNG by state.step).  A remainder of num_steps % K runs through a
     # separately-jitted single step.
+    # Perceptual reconstruction loss: resolve the bundled/checkpointed
+    # encoder automatically when the coefficient asks for it (the
+    # reference wires this through features_encoding's singleton,
+    # gan/train.py:19-26) — without this, reconstruction_coefficient
+    # would silently be a no-op from the driver.
+    feature_fn = None
+    if cfg.train.reconstruction_coefficient > 0:
+        from windtpu.features import get_encoder_fn
+
+        feature_fn = get_encoder_fn(cfg.model.image_size,
+                                    cfg.model.sequence_length)
+
     k = max(1, getattr(cfg.train, "steps_per_call", 1))
     step_fn = (make_multi_train_step(
-        cfg, k, unroll=getattr(cfg.train, "steps_per_call_unroll", False))
-        if k > 1 else make_train_step(cfg))
-    single_fn = make_train_step(cfg) if (k > 1 and num_steps % k) else None
+        cfg, k, feature_fn=feature_fn,
+        unroll=getattr(cfg.train, "steps_per_call_unroll", False))
+        if k > 1 else make_train_step(cfg, feature_fn=feature_fn))
+    single_fn = (make_train_step(cfg, feature_fn=feature_fn)
+                 if (k > 1 and num_steps % k) else None)
     rng = jax.random.key(cfg.seed + 1)
     history = []
     it = iter(batches)
@@ -66,9 +80,11 @@ def train(
     while local_step < num_steps:
         this_k = k if (num_steps - local_step) >= k else 1
         if this_k > 1:
+            # Tuples of K batches; stacked inside the jitted multi-step so
+            # device-sharded batches never round-trip through the host.
             pairs = [next(it) for _ in range(k)]
-            low_res = np.stack([np.asarray(p[0]) for p in pairs])
-            high_res = np.stack([np.asarray(p[1]) for p in pairs])
+            low_res = tuple(p[0] for p in pairs)
+            high_res = tuple(p[1] for p in pairs)
             fn = step_fn
         else:
             low_res, high_res = next(it)

@@ -16,7 +16,11 @@ Semantics preserved from the reference:
 * instance noise (fresh IID noise, std = noise_std, out_channels wide) is
   added to BOTH discriminator inputs when scoring (ganbase.py:40-43);
 * generator/discriminator batch-norm + spectral-norm state updates occur on
-  every training=True forward, exactly where Keras would update them;
+  every training=True forward, where Keras would update them — with one
+  documented exception: the default ``fused_scoring=True`` scores real and
+  fake in ONE doubled-batch critic call, so the spectral-norm power
+  iteration advances once instead of twice per critic iter (README
+  divergence 5; ``fused_scoring=False`` restores the exact call sequence);
 * the returned scalar dict uses the reference's metric names
   (ganbase.py:75-94).
 
@@ -125,7 +129,7 @@ def make_train_step(
     # The GP critic call is differentiated TWICE (grad wrt image inside
     # grad wrt params), so remat there recomputes forwards quadratically;
     # remat_gp=False exempts it from the policy.
-    _d_gp = _d_train if getattr(tcfg, "remat_gp", True) else _d_raw
+    _d_gp = _d_train if getattr(tcfg, "remat_gp", False) else _d_raw
 
     def train_step(state: GANTrainState, low_res, high_res, rng):
         b = low_res.shape[0]
@@ -173,7 +177,7 @@ def make_train_step(
                     grads_img, tcfg.gp_weight)
                 if _detach_gp:
                     penalty = jax.lax.stop_gradient(penalty)
-                if getattr(tcfg, "fused_scoring", False):
+                if getattr(tcfg, "fused_scoring", True):
                     # One critic call on the doubled batch: identical math
                     # (no cross-sample ops in the critic) at half the
                     # kernel launches.
@@ -307,13 +311,19 @@ def make_multi_train_step(
         return jax.jit(inner, donate_argnums=(0,))
 
     def multi(state, low_res_k, high_res_k, rng):
-        def body(st, xs):
-            lr, hr = xs
+        # The K batches arrive as length-K tuples and are stacked INSIDE
+        # the jit: host batches upload as usual, and device-sharded
+        # batches (the CLI's sharded infeed) keep their sharding — an
+        # eager host-side np.stack would gather them (and crash on a
+        # multi-host mesh where shards are non-addressable).
+        xs = (jnp.stack(low_res_k), jnp.stack(high_res_k))
+
+        def body(st, x):
+            lr, hr = x
             return inner(st, lr, hr, rng)
 
         state, ms = jax.lax.scan(
-            body, state, (low_res_k, high_res_k),
-            unroll=steps_per_call if unroll else 1)
+            body, state, xs, unroll=steps_per_call if unroll else 1)
         return state, jax.tree_util.tree_map(lambda a: a[-1], ms)
 
     return jax.jit(multi, donate_argnums=(0,))
