@@ -177,6 +177,55 @@ class TestSplitStem:
                                    atol=1e-5)
 
 
+class TestFusedCriticBranches:
+    """The block-diagonal dual-branch recurrence (layers.fused_dual_convlstm)
+    must be the same function as two separate ConvLSTMs — same parameter
+    tree, same outputs, same gradients."""
+
+    def _setup(self):
+        import dataclasses
+
+        cfg_f = dataclasses.replace(TINY, critic_fused_branches=True)
+        cfg_u = dataclasses.replace(TINY, critic_fused_branches=False)
+        variables = init_discriminator(cfg_u, jax.random.key(3),
+                                       batch_size=2)
+        k1, k2 = jax.random.split(jax.random.key(9))
+        t, i = TINY.sequence_length, TINY.image_size
+        lr = jax.random.normal(k1, (2, t, i, i, TINY.in_channels))
+        hr = jax.random.normal(k2, (2, t, i, i, TINY.out_channels))
+        return cfg_f, cfg_u, variables, lr, hr
+
+    def test_fused_critic_branches_match_unfused(self):
+        cfg_f, cfg_u, variables, lr, hr = self._setup()
+        s_u = Discriminator(cfg_u).apply(variables, lr, hr, train=False)
+        s_f = Discriminator(cfg_f).apply(variables, lr, hr, train=False)
+        np.testing.assert_allclose(np.asarray(s_u), np.asarray(s_f),
+                                   atol=1e-5)
+
+    def test_param_trees_interchangeable(self):
+        cfg_f, cfg_u, v_unfused, *_ = self._setup()
+        v_fused = init_discriminator(cfg_f, jax.random.key(3), batch_size=2)
+        shapes_u = jax.tree_util.tree_map(lambda a: a.shape, v_unfused)
+        shapes_f = jax.tree_util.tree_map(lambda a: a.shape, v_fused)
+        assert shapes_u == shapes_f
+
+    def test_gradients_match(self):
+        cfg_f, cfg_u, variables, lr, hr = self._setup()
+
+        def loss(params, cfg):
+            v = {**variables, "params": params}
+            return jnp.mean(Discriminator(cfg).apply(v, lr, hr, train=False))
+
+        g_u = jax.grad(loss)(variables["params"], cfg_u)
+        g_f = jax.grad(loss)(variables["params"], cfg_f)
+        flat_u = jax.tree_util.tree_leaves_with_path(g_u)
+        flat_f = dict(jax.tree_util.tree_leaves_with_path(g_f))
+        for path, leaf_u in flat_u:
+            np.testing.assert_allclose(
+                np.asarray(leaf_u), np.asarray(flat_f[path]),
+                atol=2e-5, err_msg=str(path))
+
+
 class TestCriticScanUnroll:
     @pytest.mark.parametrize("unroll", [1, 2])
     def test_unroll_matches_rolled(self, unroll):

@@ -142,6 +142,10 @@ def main():
     ap.add_argument("--patch", type=int, default=96)
     ap.add_argument("--seq", type=int, default=6)
     ap.add_argument("--reco", type=float, default=20.0)
+    ap.add_argument("--domains", type=int, default=4,
+                    help="number of distinct synthetic terrains; longer "
+                         "runs generalize better to held-out terrain with "
+                         "more of them")
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "windtpu", "assets", "weights", "generator-synth.npz"))
@@ -176,7 +180,7 @@ def main():
 
     rng = np.random.RandomState(0)
     print("synthesizing terrain domains...", flush=True)
-    domains = [list(make_domain(rng)) + [[]] for _ in range(4)]
+    domains = [list(make_domain(rng)) + [[]] for _ in range(args.domains)]
     it = batches(rng, domains, args.batch, args.patch, args.seq)
 
     key = jax.random.key(1)

@@ -59,6 +59,18 @@ class ModelConfig:
     # generator's wide (128-ch) scan gains nothing from unrolling and is
     # left rolled to keep compile time down.
     critic_scan_unroll: int = 0
+    # Run the critic's two branch ConvLSTMs (2- and 16-feature) as ONE
+    # block-diagonal recurrence instead of two scans: same math exactly
+    # (zero blocks in the fused kernels; layers.fused_dual_convlstm), same
+    # checkpoint tree, half the serial recurrent convs.  Measured on the
+    # v5e at the primary bench shape it is 25% SLOWER (1.84 vs 2.30
+    # steps/s): with critic_scan_unroll=0 the scans are fully unrolled, so
+    # XLA already interleaves the two branches' ops, and the fused
+    # recurrent conv does ~25% more MACs (the (fa+fb)^2 feature block vs
+    # fa^2+fb^2).  Kept as an option because it wins when the scans stay
+    # rolled (serial-launch-bound); equivalence is asserted by
+    # tests/test_models.py::TestFusedCriticBranches.
+    critic_fused_branches: bool = False
 
     def __post_init__(self):
         if self.image_size % 4 != 0:

@@ -86,17 +86,32 @@ class Discriminator(nn.Module):
         unroll = (getattr(cfg, "critic_scan_unroll", 0)
                   or cfg.sequence_length)
 
-        # Branch A: high-res only.
-        hr = L.ConvLSTM(cfg.out_channels, (3, 3), dtype=dtype,
-                        unroll=unroll, name="hr_convlstm")(high_res)
+        # Branch A reads high-res only; branch B reads concat(LR, HR)
+        # (reference gan/models.py:93-105).  Optionally the two narrow
+        # recurrences run as ONE block-diagonal scan — identical math and
+        # checkpoint tree (layers.fused_dual_convlstm).  Off by default:
+        # see ModelConfig.critic_fused_branches for the measured ablation.
+        mix_in = jnp.concatenate([low_res, high_res], axis=-1)
+        if getattr(cfg, "critic_fused_branches", False):
+            params_a = L.ConvLSTMParams(
+                cfg.out_channels, cfg.out_channels, (3, 3),
+                name="hr_convlstm")()
+            params_b = L.ConvLSTMParams(
+                cfg.in_channels + cfg.out_channels, f, (3, 3),
+                name="mix_convlstm")()
+            c_in = cfg.in_channels
+            hr, mix = L.fused_dual_convlstm(
+                mix_in, (c_in, c_in + cfg.out_channels),
+                (0, c_in + cfg.out_channels), params_a, params_b,
+                unroll=unroll)
+        else:
+            hr = L.ConvLSTM(cfg.out_channels, (3, 3), dtype=dtype,
+                            unroll=unroll, name="hr_convlstm")(high_res)
+            mix = L.ConvLSTM(f, (3, 3), dtype=dtype, unroll=unroll,
+                             name="mix_convlstm")(mix_in)
         hr = L.TimeConv(f, (3, 3), padding="SAME", update_sn_stats=train,
                         dtype=dtype, name="hr_conv")(hr)
         hr = L.KerasLayerNorm(dtype=dtype, name="hr_ln")(hr)
-
-        # Branch B: both inputs.
-        mix = jnp.concatenate([low_res, high_res], axis=-1)
-        mix = L.ConvLSTM(f, (3, 3), dtype=dtype, unroll=unroll,
-                         name="mix_convlstm")(mix)
         mix = L.TimeConv(f, (3, 3), padding="SAME", update_sn_stats=train,
                          dtype=dtype, name="mix_conv")(mix)
         mix = L.KerasLayerNorm(dtype=dtype, name="mix_ln")(mix)

@@ -311,7 +311,6 @@ class ConvLSTM(nn.Module):
         )
 
         dt = zx.dtype
-        rk = recurrent_kernel.astype(dt)
         # Fold the unit forget bias into the hoisted input conv ONCE —
         # adding it inside the scan makes XLA hoist a loop-length broadcast.
         # Full-width vector add (zeros outside the f-gate) fuses into the
@@ -321,56 +320,191 @@ class ConvLSTM(nn.Module):
             [jnp.zeros((f,), dt), fb, jnp.zeros((2 * f,), dt)])
         zx = zx + fb_vec
 
-        # LAYOUT: the scan's stacked buffers and saved residuals are
-        # (T, B, ..., C)-shaped.  In NHWC with narrow channels (the critic
-        # uses F=2 and F=16) the lane dimension pads C -> 128: up to a 64x
-        # HBM blowup per stacked tensor, which OOMs flagship training.
-        # For narrow F the recurrence therefore runs in NCHW (W on the
-        # lanes: 96 -> 128 is 1.33x); for wide F (the generator's 128)
-        # NHWC already fills the lanes and its convs are faster.  NCHW only
-        # pays off when the padded residuals are actually large — small
-        # fields keep NHWC (measured: 64px critic is 17% faster in NHWC
-        # and fits comfortably; 96px critic OOMs without NCHW).
-        nchw = f < 64 and h * w >= 96 * 96
-
-        if nchw:
-            zx_tmajor = jnp.moveaxis(zx, 1, 0)          # (T, B, H, W, 4F)
-            zx_tmajor = jnp.moveaxis(zx_tmajor, -1, 2)  # (T, B, 4F, H, W)
-            dn = ("NCHW", "HWIO", "NCHW")
-            split_axis = 1
-            h0 = jnp.zeros((b, f, h, w), dt)
-        else:
-            zx_tmajor = jnp.moveaxis(zx, 1, 0)          # (T, B, H, W, 4F)
-            dn = ("NHWC", "HWIO", "NHWC")
-            split_axis = -1
-            h0 = jnp.zeros((b, h, w, f), dt)
-        c0 = h0
-
-        def step(carry, zx_t):
-            h_prev, c_prev = carry
-            zh = jax.lax.conv_general_dilated(
-                h_prev, rk, window_strides=(1, 1), padding="SAME",
-                dimension_numbers=dn,
-            )
-            z = zx_t + zh
-            zi, zf, zc, zo = jnp.split(z, 4, axis=split_axis)
-            i = r_act(zi)
-            fg = r_act(zf)
-            c = fg * c_prev + i * jnp.tanh(zc)
-            o = r_act(zo)
-            h_new = o * jnp.tanh(c)
-            return (h_new, c), h_new
-
-        (_, _), ys = jax.lax.scan(step, (h0, c0), zx_tmajor,
-                                  unroll=max(1, self.unroll))
-        if nchw:
-            out = jnp.transpose(ys, (1, 0, 3, 4, 2))  # -> (B, T, H, W, F)
-        else:
-            out = jnp.moveaxis(ys, 0, 1)
+        out = _convlstm_scan(zx, recurrent_kernel, f,
+                             r_act=r_act, unroll=max(1, self.unroll))
         # Named for remat policies: recomputing the serial scan in the
         # backward pass is the expensive part of jax.checkpoint; policies
         # can elect to save exactly this tensor (see train/wgan_gp.py).
         return jax.ad_checkpoint.checkpoint_name(out, "convlstm_out")
+
+
+def _convlstm_scan(zx: jax.Array, recurrent_kernel: jax.Array, f: int,
+                   *, r_act: Callable, unroll: int) -> jax.Array:
+    """Shared ConvLSTM recurrence over pre-biased gate activations.
+
+    ``zx`` is (B, T, H, W, 4F) — the hoisted input conv with gate bias and
+    unit forget bias already added; ``recurrent_kernel`` (kh, kw, F, 4F).
+    Returns the hidden-state sequence (B, T, H, W, F).
+    """
+    b, t, h, w, _ = zx.shape
+    dt = zx.dtype
+    rk = recurrent_kernel.astype(dt)
+
+    # LAYOUT: the scan's stacked buffers and saved residuals are
+    # (T, B, ..., C)-shaped.  In NHWC with narrow channels (the critic
+    # uses F=2 and F=16) the lane dimension pads C -> 128: up to a 64x
+    # HBM blowup per stacked tensor, which OOMs flagship training.
+    # For narrow F the recurrence therefore runs in NCHW (W on the
+    # lanes: 96 -> 128 is 1.33x); for wide F (the generator's 128)
+    # NHWC already fills the lanes and its convs are faster.  NCHW only
+    # pays off when the padded residuals are actually large — small
+    # fields keep NHWC (measured: 64px critic is 17% faster in NHWC
+    # and fits comfortably; 96px critic OOMs without NCHW).
+    nchw = f < 64 and h * w >= 96 * 96
+
+    if nchw:
+        zx_tmajor = jnp.moveaxis(zx, 1, 0)          # (T, B, H, W, 4F)
+        zx_tmajor = jnp.moveaxis(zx_tmajor, -1, 2)  # (T, B, 4F, H, W)
+        dn = ("NCHW", "HWIO", "NCHW")
+        split_axis = 1
+        h0 = jnp.zeros((b, f, h, w), dt)
+    else:
+        zx_tmajor = jnp.moveaxis(zx, 1, 0)          # (T, B, H, W, 4F)
+        dn = ("NHWC", "HWIO", "NHWC")
+        split_axis = -1
+        h0 = jnp.zeros((b, h, w, f), dt)
+    c0 = h0
+
+    def step(carry, zx_t):
+        h_prev, c_prev = carry
+        zh = jax.lax.conv_general_dilated(
+            h_prev, rk, window_strides=(1, 1), padding="SAME",
+            dimension_numbers=dn,
+        )
+        z = zx_t + zh
+        zi, zf, zc, zo = jnp.split(z, 4, axis=split_axis)
+        i = r_act(zi)
+        fg = r_act(zf)
+        c = fg * c_prev + i * jnp.tanh(zc)
+        o = r_act(zo)
+        h_new = o * jnp.tanh(c)
+        return (h_new, c), h_new
+
+    (_, _), ys = jax.lax.scan(step, (h0, c0), zx_tmajor, unroll=unroll)
+    if nchw:
+        return jnp.transpose(ys, (1, 0, 3, 4, 2))  # -> (B, T, H, W, F)
+    return jnp.moveaxis(ys, 0, 1)
+
+
+class _ConvKernelParams(nn.Module):
+    """A kernel/bias pair with nn.Conv's parameter names, shapes and
+    initializers — for layers that consume conv weights without running
+    flax's conv (the fused dual ConvLSTM)."""
+
+    shape: Tuple[int, ...]
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            self.shape, jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        return kernel, bias
+
+
+class ConvLSTMParams(nn.Module):
+    """The parameters of one ConvLSTM, without its computation.
+
+    Creates a variable tree IDENTICAL to ``ConvLSTM``'s
+    (``input_conv/{kernel,bias}``, ``recurrent_kernel``, ``forget_bias``)
+    with the same shapes and initializers, so a critic built with
+    ``fused_dual_convlstm`` shares checkpoints with one built from two
+    plain ``ConvLSTM`` modules.
+    """
+
+    in_channels: int
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+
+    @nn.compact
+    def __call__(self):
+        f = self.features
+        ik, ib = _ConvKernelParams(
+            self.kernel_size + (self.in_channels, 4 * f), 4 * f,
+            name="input_conv")()
+        rk = self.param("recurrent_kernel", nn.initializers.orthogonal(),
+                        self.kernel_size + (f, 4 * f), jnp.float32)
+        fb = self.param("forget_bias", nn.initializers.ones, (f,),
+                        jnp.float32)
+        return ik, ib, rk, fb
+
+
+def fused_dual_convlstm(
+    x: jax.Array,
+    span_a: Tuple[int, int],
+    span_b: Tuple[int, int],
+    params_a,
+    params_b,
+    *,
+    recurrent_activation: str = "hard_sigmoid",
+    unroll: int = 1,
+) -> Tuple[jax.Array, jax.Array]:
+    """Two independent ConvLSTMs over channel spans of one input stack,
+    executed as ONE recurrence with block-structured kernels.
+
+    The critic's branch ConvLSTMs (reference gan/models.py:93,101) are 2-
+    and 16-feature recurrences — far too narrow to occupy the 128-lane MXU,
+    and as separate ``lax.scan``s they serialize: a TPU core executes one
+    op at a time, so T recurrent convs of branch A queue behind T of
+    branch B.  Packing both into one scan halves the serial op count.  The
+    fused kernels carry ZERO blocks where one branch would read the other's
+    channels, so the math is exactly that of two separate ConvLSTMs
+    (convolution is linear in its input channels; a 0-weighted tap
+    contributes an exact 0) — asserted by
+    tests/test_models.py::test_fused_critic_branches_match_unfused.
+
+    ``x`` is (B, T, H, W, C); branch A consumes channels
+    ``span_a[0]:span_a[1]``, branch B ``span_b[0]:span_b[1]``.
+    ``params_a``/``params_b`` are ``ConvLSTMParams`` outputs.  The fused
+    gate layout is per-gate-contiguous: [i_a i_b | f_a f_b | c_a c_b |
+    o_a o_b], which makes the scan body literally ``_convlstm_scan`` at
+    width F = f_a + f_b.  Returns the two hidden sequences
+    (B, T, H, W, f_a) and (B, T, H, W, f_b).
+    """
+    ik_a, ib_a, rk_a, fb_a = params_a
+    ik_b, ib_b, rk_b, fb_b = params_b
+    fa, fb_n = rk_a.shape[2], rk_b.shape[2]
+    ftot = fa + fb_n
+    kh, kw = rk_a.shape[:2]
+    ch = x.shape[-1]
+    b = x.shape[0]
+    dt = x.dtype
+    r_act = (hard_sigmoid if recurrent_activation == "hard_sigmoid"
+             else jax.nn.sigmoid)
+
+    def blocks(k_a, k_b, rows_a, rows_b, rows):
+        """Assemble (kh, kw, rows, 4*ftot) from two per-branch kernels."""
+        out = jnp.zeros((kh, kw, rows, 4 * ftot), jnp.float32)
+        for g in range(4):
+            out = out.at[:, :, rows_a[0]:rows_a[1],
+                         g * ftot:g * ftot + fa].set(
+                k_a[:, :, :, g * fa:(g + 1) * fa])
+            out = out.at[:, :, rows_b[0]:rows_b[1],
+                         g * ftot + fa:(g + 1) * ftot].set(
+                k_b[:, :, :, g * fb_n:(g + 1) * fb_n])
+        return out
+
+    ik = blocks(ik_a, ik_b, span_a, span_b, ch)
+    rk = blocks(rk_a, rk_b, (0, fa), (fa, ftot), ftot)
+    gate_bias = jnp.concatenate([
+        jnp.concatenate([ib_a[g * fa:(g + 1) * fa],
+                         ib_b[g * fb_n:(g + 1) * fb_n]])
+        for g in range(4)])
+    # Unit forget bias folded into the hoisted conv once, as in ConvLSTM.
+    fb_vec = jnp.concatenate([
+        jnp.zeros((ftot,)), fb_a, fb_b, jnp.zeros((2 * ftot,))])
+
+    folded, _ = fold_time(x)
+    zx = jax.lax.conv_general_dilated(
+        folded, ik.astype(dt), window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    zx = zx + (gate_bias + fb_vec).astype(dt)
+    zx = unfold_time(zx, b)
+
+    out = _convlstm_scan(zx, rk, ftot, r_act=r_act, unroll=max(1, unroll))
+    out = jax.ad_checkpoint.checkpoint_name(out, "convlstm_out")
+    return out[..., :fa], out[..., fa:]
 
 
 class TimeDense(nn.Module):
