@@ -111,23 +111,54 @@ def synth_day(rng, dem, slope, aspect, t=6, sigma=7.0):
     return low, high
 
 
-def batches(rng, domains, batch, patch, t):
-    while True:
-        lows, highs = [], []
-        for _ in range(batch):
-            dem, slope, aspect, day_cache = domains[
-                rng.randint(len(domains))]
-            if not day_cache or rng.rand() < 0.02:
-                day_cache.append(synth_day(rng, dem, slope, aspect, t=t))
-                if len(day_cache) > 8:
-                    day_cache.pop(0)
-            low, high = day_cache[rng.randint(len(day_cache))]
-            ny, nx = low.shape[1:3]
-            y0 = rng.randint(ny - patch + 1)
-            x0 = rng.randint(nx - patch + 1)
-            lows.append(low[:, y0:y0 + patch, x0:x0 + patch])
-            highs.append(high[:, y0:y0 + patch, x0:x0 + patch])
-        yield np.stack(lows), np.stack(highs)
+def make_day_pool(rng, n_domains, days_per_domain, t):
+    """Pre-generate every training day as two stacked arrays.
+
+    The whole pool is pushed to the device ONCE and random crops are taken
+    on-device (`make_sampler`).  Streaming fresh numpy batches every step
+    is not an option on this platform: each host->device transfer above
+    ~0.5 MB permanently leaks its full size in host RSS (axon client bug,
+    measured at 100% of transfer size), which OOM-kills runs past ~13k
+    steps at the flagship batch shape.
+    """
+    lows, highs = [], []
+    for _ in range(n_domains):
+        dem, slope, aspect = make_domain(rng)
+        for _ in range(days_per_domain):
+            lo, hi = synth_day(rng, dem, slope, aspect, t=t)
+            lows.append(lo)
+            highs.append(hi)
+    return np.stack(lows), np.stack(highs)
+
+
+def make_sampler(batch, patch):
+    """Jitted on-device batch sampler over the resident day pool.
+
+    Draws (day, y0, x0) uniformly per element and crops with
+    ``lax.dynamic_slice`` — the per-step host->device traffic is one
+    folded PRNG key, so host RSS stays flat for arbitrarily long runs.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def sample(pool_low, pool_high, key):
+        n, t, ny, nx, _ = pool_low.shape
+        kd, ky, kx = jax.random.split(key, 3)
+        idx = jax.random.randint(kd, (batch,), 0, n)
+        y0 = jax.random.randint(ky, (batch,), 0, ny - patch + 1)
+        x0 = jax.random.randint(kx, (batch,), 0, nx - patch + 1)
+
+        def crop(pool, i, y, x):
+            c = pool.shape[-1]
+            cube = jax.lax.dynamic_slice(
+                pool, (i, 0, y, x, 0), (1, t, patch, patch, c))
+            return jnp.squeeze(cube, 0)
+
+        lo = jax.vmap(crop, in_axes=(None, 0, 0, 0))(pool_low, idx, y0, x0)
+        hi = jax.vmap(crop, in_axes=(None, 0, 0, 0))(pool_high, idx, y0, x0)
+        return lo, hi
+
+    return jax.jit(sample)
 
 
 def highpass_energy(field, sigma=7.0):
@@ -146,11 +177,20 @@ def main():
                     help="number of distinct synthetic terrains; longer "
                          "runs generalize better to held-out terrain with "
                          "more of them")
+    ap.add_argument("--days", type=int, default=6,
+                    help="synthetic days per terrain in the device-resident "
+                         "pool (~18 MB HBM each at T=6)")
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "windtpu", "assets", "weights", "generator-synth.npz"))
-    ap.add_argument("--resume", default=None,
-                    help="orbax train-state dir to resume from")
+    ap.add_argument("--save-every", type=int, default=2000,
+                    help="write the generator npz (and the full train "
+                         "state when --ckpt-dir is set) every N steps")
+    ap.add_argument("--ckpt-dir", default=None,
+                    help="directory for periodic full-train-state Orbax "
+                         "checkpoints (enables --resume)")
+    ap.add_argument("--resume", action="store_true",
+                    help="resume from the latest checkpoint in --ckpt-dir")
     args = ap.parse_args()
 
     import jax
@@ -158,7 +198,10 @@ def main():
 
     from windtpu.core.config import GANConfig, ModelConfig, TrainConfig
     from windtpu.models.generator import Generator
-    from windtpu.train.checkpoint import save_generator_npz
+    from windtpu.train.checkpoint import (latest_checkpoint,
+                                          restore_checkpoint,
+                                          save_checkpoint,
+                                          save_generator_npz)
     from windtpu.train.state import create_train_state
     from windtpu.train.wgan_gp import make_train_step
 
@@ -177,33 +220,61 @@ def main():
     feature_fn = lambda x: x  # noqa: E731
     step_fn = make_train_step(cfg, feature_fn=feature_fn)
     state = create_train_state(cfg)
+    start_step = 0
+    if args.resume:
+        if not args.ckpt_dir:
+            raise SystemExit("--resume needs --ckpt-dir")
+        latest = latest_checkpoint(args.ckpt_dir)
+        if latest:
+            state = restore_checkpoint(latest, state)
+            start_step = int(state.step)
+            print(f"resumed from {latest} at step {start_step}", flush=True)
 
     rng = np.random.RandomState(0)
-    print("synthesizing terrain domains...", flush=True)
-    domains = [list(make_domain(rng)) + [[]] for _ in range(args.domains)]
-    it = batches(rng, domains, args.batch, args.patch, args.seq)
+    print(f"synthesizing {args.domains} terrains x {args.days} days...",
+          flush=True)
+    pool_low, pool_high = make_day_pool(rng, args.domains, args.days,
+                                        args.seq)
+    pool_low = jax.device_put(pool_low)    # once: the only big transfers
+    pool_high = jax.device_put(pool_high)
+    sample = make_sampler(args.batch, args.patch)
+
+    def save_all(tag=""):
+        os.makedirs(os.path.dirname(args.out), exist_ok=True)
+        g_vars = jax.device_get(state.g_variables())
+        tmp = args.out + ".tmp"
+        save_generator_npz(tmp, g_vars)
+        os.replace(tmp, args.out)  # atomic: a kill never truncates it
+        print(f"wrote {args.out}{tag} "
+              f"({os.path.getsize(args.out) / 1e6:.1f} MB)", flush=True)
+        if args.ckpt_dir:
+            have = latest_checkpoint(args.ckpt_dir)
+            if not (have and have.endswith(f"step_{int(state.step):08d}")):
+                save_checkpoint(args.ckpt_dir, state)
+        return g_vars
 
     key = jax.random.key(1)
     t0 = time.time()
-    for step in range(args.steps):
-        low, high = next(it)
-        state, metrics = step_fn(state, jnp.asarray(low), jnp.asarray(high),
-                                 jax.random.fold_in(key, step))
+    for step in range(start_step, args.steps):
+        kstep = jax.random.fold_in(key, step)
+        low, high = sample(pool_low, pool_high,
+                           jax.random.fold_in(kstep, 0))
+        state, metrics = step_fn(state, low, high,
+                                 jax.random.fold_in(kstep, 1))
         if step % 100 == 0 or step == args.steps - 1:
             m = {k: float(v) for k, v in metrics.items()}
             print(f"step {step}: d={m.get('d_loss', 0):+.3f} "
                   f"g={m.get('g_loss', 0):+.3f} "
                   f"reco={m.get('g_reco_loss', 0):.3f} "
                   f"({time.time() - t0:.0f}s)", flush=True)
+        if args.save_every and step and step % args.save_every == 0:
+            save_all(tag=f" [step {step}]")
 
-    os.makedirs(os.path.dirname(args.out), exist_ok=True)
-    g_vars = jax.device_get(state.g_variables())
-    save_generator_npz(args.out, g_vars)
-    size_mb = os.path.getsize(args.out) / 1e6
-    print(f"wrote {args.out} ({size_mb:.1f} MB)")
+    g_vars = save_all()
 
     # ---- sharpness report: generator vs bilinear vs truth -----------------
-    low, high = next(it)
+    low, high = (np.asarray(a) for a in sample(
+        pool_low, pool_high, jax.random.key(555)))
     gen = Generator(cfg.model)
     noise = 0.1 * jax.random.normal(
         jax.random.key(9), low.shape[:-1] + (cfg.model.noise_channels,))
