@@ -31,7 +31,14 @@ def train(
     profile_dir: Optional[str] = None,
 ):
     """Run ``num_steps`` WGAN-GP updates over ``batches`` of
-    (low_res, high_res) arrays.  Returns (state, history)."""
+    (low_res, high_res) arrays.  Returns (state, history).
+
+    Note on very long runs under the axon remote-TPU client: its
+    host->device transfers leak host RSS (up to ~100% of bytes moved), so
+    a multi-day run streaming fresh batches should either keep its data
+    device-resident and crop on-device (tools/train_shipped_ckpt.py shows
+    the pattern) or rely on ``checkpoint_every`` + resume across process
+    restarts.  Native TPU runtimes don't need this."""
     if state is None:
         state = create_train_state(cfg)
     metrics_logger = None
