@@ -190,6 +190,12 @@ def bench_inference(smoke=False):
 
 
 def main():
+    # Persistent XLA compile cache: on the axon remote platform, compile
+    # RPCs dominate wall time (~10 min for the smoke step when cold); the
+    # cache makes repeat bench runs start in seconds.
+    from windtpu.utils.compilecache import enable_persistent_cache
+    enable_persistent_cache()
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--smoke", action="store_true",
                     help="tiny shapes, fewer steps: a fast all-paths check "

@@ -196,6 +196,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from windtpu.utils.compilecache import enable_persistent_cache
+    enable_persistent_cache()
+
     from windtpu.core.config import GANConfig, ModelConfig, TrainConfig
     from windtpu.models.generator import Generator
     from windtpu.train.checkpoint import (latest_checkpoint,

@@ -34,6 +34,9 @@ def main(argv=None):
     parser.add_argument("--overlap-factor", type=float, default=0.01)
     args = parser.parse_args(argv)
 
+    from windtpu.utils.compilecache import enable_persistent_cache
+    enable_persistent_cache()
+
     from windtpu import api
     from windtpu.io.dataset import open_mfdataset
     from windtpu.io.geotiff import open_rasterio
@@ -70,6 +73,9 @@ def train_main(argv=None):
     parser.add_argument("--checkpoint-every", type=int, default=200)
     parser.add_argument("--profile-dir", default=None)
     args = parser.parse_args(argv)
+
+    from windtpu.utils.compilecache import enable_persistent_cache
+    enable_persistent_cache()
 
     import dataclasses
 
