@@ -1,6 +1,9 @@
 """Data pipeline: noise generators, decoders, providers, batch shapes,
 augmentation determinism."""
 
+import os
+from pathlib import Path
+
 import numpy as np
 import jax
 import pytest
@@ -93,6 +96,39 @@ class TestProviders:
     def test_local_provider_requires_date(self, tmp_path):
         with pytest.raises(ValueError):
             LocalFileProvider(tmp_path, "static.nc")
+
+    def test_gcs_provider(self, tmp_path, monkeypatch):
+        """Drive GCSFileProvider against a fake ``gsutil`` on PATH that
+        serves a directory tree as the bucket."""
+        from windtpu.data.providers import GCSFileProvider
+
+        store = tmp_path / "bucket" / "days"
+        store.mkdir(parents=True)
+        for d in ["20200101", "20200102"]:
+            (store / f"x_{d}.nc").write_text(d)
+        (store / "README").touch()
+
+        fake = tmp_path / "bin" / "gsutil"
+        fake.parent.mkdir()
+        fake.write_text(f"""#!/bin/sh
+root={tmp_path}
+cmd=$1; shift
+case "$cmd" in
+  ls) for f in "$root/${{1#gs://}}"*; do echo "gs://${{f#$root/}}"; done ;;
+  cp) src="$root/${{1#gs://}}"; cp "$src" "$2" ;;
+  *) exit 64 ;;
+esac
+""")
+        fake.chmod(0o755)
+        monkeypatch.setenv(
+            "PATH", f"{fake.parent}:{os.environ['PATH']}")
+
+        p = GCSFileProvider("gs://bucket", "days", pattern="x_{date}.nc")
+        assert p.available_dates == {"20200101", "20200102"}
+        with p.provide("20200101") as path:
+            got = Path(path)
+            assert got.read_text() == "20200101"
+        assert not got.exists()  # unload removed the temp copy
 
 
 class TestBatchGenerator:

@@ -4,5 +4,6 @@ from windtpu.data.decoders import (  # noqa: F401
     WindComponentDecoder,
     WindSpeedDecoder,
 )
-from windtpu.data.providers import LocalFileProvider, Provider, S3FileProvider  # noqa: F401
+from windtpu.data.providers import (GCSFileProvider, LocalFileProvider,  # noqa: F401
+                                    Provider, S3FileProvider)
 from windtpu.data.batch import BatchGenerator, SyntheticDayProvider  # noqa: F401

@@ -86,6 +86,54 @@ class LocalFileProvider(Provider):
         return self.data_path / name
 
 
+class GCSFileProvider(Provider):
+    """Lists/downloads objects from a Google Cloud Storage bucket via the
+    ``gsutil`` CLI into a tempdir.
+
+    The idiomatic store for TPU-pod training data (SURVEY.md §2 providers
+    row): GCS sits next to the TPU hosts, so day files stream in at full
+    bandwidth without a POSIX mount.  Same contract as S3FileProvider —
+    ``available_dates`` from an object listing, ``load`` fetches one day
+    file, ``unload`` deletes the temp copy.  No reference counterpart
+    (the reference has Local + S3 only, data_generator.py:42-93).
+    """
+
+    def __init__(self, bucket: str, *subfolders: str, pattern: str = None):
+        if pattern is None:
+            pattern = subfolders[-1]
+            subfolders = subfolders[:-1]
+        self.bucket = "/".join([bucket.removeprefix("gs://")]
+                               + list(subfolders))
+        if "{date" not in pattern:
+            raise ValueError("Expected a {date} placeholder in " + pattern)
+        self.pattern = pattern
+        self._regex = _pattern_to_regex(pattern)
+
+    @property
+    def available_dates(self):
+        result = subprocess.run(["gsutil", "ls", f"gs://{self.bucket}/"],
+                                capture_output=True)
+        dates = set()
+        for line in result.stdout.decode().splitlines():
+            name = line.strip().rsplit("/", 1)[-1]
+            m = self._regex.match(name)
+            if m:
+                dates.add(m.group("date"))
+        return dates
+
+    def load(self, date: str) -> str:
+        dest = tempfile.mkdtemp()
+        name = re.sub(r"\{date[^}]*\}", str(int(date)), self.pattern)
+        subprocess.run(
+            ["gsutil", "cp", f"gs://{self.bucket}/{name}", dest + "/"],
+            check=True,
+        )
+        return f"{dest}/{name}"
+
+    def unload(self, loaded) -> None:
+        Path(loaded).unlink(missing_ok=True)
+
+
 class S3FileProvider(Provider):
     """Lists/downloads via the ``s3cmd`` CLI into a tempdir."""
 
