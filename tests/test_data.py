@@ -128,7 +128,36 @@ esac
         with p.provide("20200101") as path:
             got = Path(path)
             assert got.read_text() == "20200101"
-        assert not got.exists()  # unload removed the temp copy
+        assert not got.exists()        # unload removed the temp copy
+        assert not got.parent.exists()  # ...and its per-load tempdir
+
+    def test_object_store_failures_are_loud(self, tmp_path, monkeypatch):
+        from windtpu.data.providers import GCSFileProvider
+
+        # Missing binary: PATH with no gsutil at all.
+        monkeypatch.setenv("PATH", str(tmp_path))
+        p = GCSFileProvider("bucket", pattern="x_{date}.nc")
+        with pytest.raises(RuntimeError, match="not runnable"):
+            p.available_dates
+        # Failing binary: nonzero exit must raise with the stderr text.
+        fake = tmp_path / "gsutil"
+        fake.write_text("#!/bin/sh\necho 'AccessDenied' >&2\nexit 1\n")
+        fake.chmod(0o755)
+        with pytest.raises(RuntimeError, match="AccessDenied"):
+            p.available_dates
+
+    def test_zero_padded_dates_round_trip(self, tmp_path):
+        """A listed date must load the exact object it was listed from —
+        int() coercion would turn '0101' into a request for x_101.nc."""
+        from windtpu.data.providers import _substitute_date
+
+        assert _substitute_date("x_{date}.nc", "0101") == "x_0101.nc"
+        with pytest.raises(ValueError):
+            _substitute_date("x_{date}.nc", "..")
+        (tmp_path / "x_0101.nc").touch()
+        p = LocalFileProvider(tmp_path, "x_{date}.nc")
+        assert p.available_dates == {"0101"}
+        assert p.load("0101").exists()
 
 
 class TestBatchGenerator:

@@ -82,37 +82,64 @@ class LocalFileProvider(Provider):
         return dates
 
     def load(self, date: str) -> os.PathLike:
-        name = re.sub(r"\{date[^}]*\}", str(int(date)), self.pattern)
-        return self.data_path / name
+        return self.data_path / _substitute_date(self.pattern, date)
 
 
-class GCSFileProvider(Provider):
-    """Lists/downloads objects from a Google Cloud Storage bucket via the
-    ``gsutil`` CLI into a tempdir.
+def _substitute_date(pattern: str, date: str) -> str:
+    """Replace the ``{date...}`` placeholder with the date string as-is.
 
-    The idiomatic store for TPU-pod training data (SURVEY.md §2 providers
-    row): GCS sits next to the TPU hosts, so day files stream in at full
-    bandwidth without a POSIX mount.  Same contract as S3FileProvider —
-    ``available_dates`` from an object listing, ``load`` fetches one day
-    file, ``unload`` deletes the temp copy.  No reference counterpart
-    (the reference has Local + S3 only, data_generator.py:42-93).
+    The date must round-trip exactly through ``available_dates`` →
+    ``load``: coercing through int() would turn a zero-padded '0101'
+    listing hit into a request for the non-existent '101' object.
     """
+    if not str(date).isdigit():
+        raise ValueError(f"date must be digits, got {date!r}")
+    return re.sub(r"\{date[^}]*\}", str(date), pattern)
+
+
+class _ObjectStoreProvider(Provider):
+    """Shared engine for CLI-backed object stores (s3cmd, gsutil).
+
+    Subclasses set ``scheme`` and the two command stems; listing parse
+    and temp-file lifecycle are identical.  Tool failures surface loudly:
+    a silent empty listing (bad credentials, missing binary, bucket typo)
+    would otherwise masquerade as "no training dates available".
+    """
+
+    scheme: str              # e.g. "s3" / "gs"
+    ls_cmd: tuple            # e.g. ("s3cmd", "ls")
+    fetch_cmd: tuple         # e.g. ("s3cmd", "get")
 
     def __init__(self, bucket: str, *subfolders: str, pattern: str = None):
         if pattern is None:
             pattern = subfolders[-1]
             subfolders = subfolders[:-1]
-        self.bucket = "/".join([bucket.removeprefix("gs://")]
-                               + list(subfolders))
+        bucket = bucket.removeprefix(f"{self.scheme}://")
+        self.bucket = "/".join([bucket] + list(subfolders))
         if "{date" not in pattern:
             raise ValueError("Expected a {date} placeholder in " + pattern)
         self.pattern = pattern
         self._regex = _pattern_to_regex(pattern)
 
+    def _url(self, name: str = "") -> str:
+        return f"{self.scheme}://{self.bucket}/{name}"
+
+    def _run(self, argv) -> subprocess.CompletedProcess:
+        try:
+            result = subprocess.run(argv, capture_output=True)
+        except OSError as e:
+            raise RuntimeError(
+                f"{argv[0]} not runnable (needed by "
+                f"{type(self).__name__}): {e}") from e
+        if result.returncode != 0:
+            raise RuntimeError(
+                f"{' '.join(argv)} failed rc={result.returncode}: "
+                f"{result.stderr.decode(errors='replace').strip()[-500:]}")
+        return result
+
     @property
     def available_dates(self):
-        result = subprocess.run(["gsutil", "ls", f"gs://{self.bucket}/"],
-                                capture_output=True)
+        result = self._run([*self.ls_cmd, self._url()])
         dates = set()
         for line in result.stdout.decode().splitlines():
             name = line.strip().rsplit("/", 1)[-1]
@@ -123,50 +150,37 @@ class GCSFileProvider(Provider):
 
     def load(self, date: str) -> str:
         dest = tempfile.mkdtemp()
-        name = re.sub(r"\{date[^}]*\}", str(int(date)), self.pattern)
-        subprocess.run(
-            ["gsutil", "cp", f"gs://{self.bucket}/{name}", dest + "/"],
-            check=True,
-        )
+        name = _substitute_date(self.pattern, date)
+        self._run([*self.fetch_cmd, self._url(name), dest + "/"])
         return f"{dest}/{name}"
 
     def unload(self, loaded) -> None:
-        Path(loaded).unlink(missing_ok=True)
+        p = Path(loaded)
+        p.unlink(missing_ok=True)
+        try:                     # remove the per-load mkdtemp directory too
+            p.parent.rmdir()
+        except OSError:
+            pass
 
 
-class S3FileProvider(Provider):
-    """Lists/downloads via the ``s3cmd`` CLI into a tempdir."""
+class S3FileProvider(_ObjectStoreProvider):
+    """Lists/downloads via the ``s3cmd`` CLI into a tempdir (functional
+    twin of the reference's S3 provider, data_generator.py:65-93)."""
 
-    def __init__(self, bucket: str, *subfolders: str, pattern: str = None):
-        if pattern is None:
-            pattern = subfolders[-1]
-            subfolders = subfolders[:-1]
-        self.bucket = "/".join([bucket] + list(subfolders))
-        if "{date" not in pattern:
-            raise ValueError("Expected a {date} placeholder in " + pattern)
-        self.pattern = pattern
-        self._regex = _pattern_to_regex(pattern)
+    scheme = "s3"
+    ls_cmd = ("s3cmd", "ls")
+    fetch_cmd = ("s3cmd", "get")
 
-    @property
-    def available_dates(self):
-        result = subprocess.run(["s3cmd", "ls", f"s3://{self.bucket}/"],
-                                capture_output=True)
-        dates = set()
-        for line in result.stdout.decode().splitlines():
-            name = line.rsplit(f"s3://{self.bucket}/", 1)[-1]
-            m = self._regex.match(name)
-            if m:
-                dates.add(m.group("date"))
-        return dates
 
-    def load(self, date: str) -> str:
-        dest = tempfile.mkdtemp()
-        name = re.sub(r"\{date[^}]*\}", str(int(date)), self.pattern)
-        subprocess.run(
-            ["s3cmd", "get", f"s3://{self.bucket}/{name}", dest + "/"],
-            check=True,
-        )
-        return f"{dest}/{name}"
+class GCSFileProvider(_ObjectStoreProvider):
+    """Lists/downloads from Google Cloud Storage via the ``gsutil`` CLI.
 
-    def unload(self, loaded) -> None:
-        Path(loaded).unlink(missing_ok=True)
+    The idiomatic store for TPU-pod training data (SURVEY.md §2 providers
+    row): GCS sits next to the TPU hosts, so day files stream in at full
+    bandwidth without a POSIX mount.  No reference counterpart (the
+    reference has Local + S3 only, data_generator.py:42-93).
+    """
+
+    scheme = "gs"
+    ls_cmd = ("gsutil", "ls")
+    fetch_cmd = ("gsutil", "cp")

@@ -23,17 +23,22 @@ from __future__ import annotations
 
 import os
 
-_ENABLED = False
+_ACTIVE_DIR = None
 
 
 def enable_persistent_cache() -> str | None:
     """Idempotently enable JAX's persistent compilation cache.
 
     Must run before the first compilation (any time after import is
-    fine — the cache config is read per-compile).  Returns the cache
-    directory, or None when disabled.
+    fine — the cache config is read per-compile).  Returns the ACTIVE
+    cache directory: once enabled, later calls return the directory
+    actually configured, even if the environment has changed since —
+    they never silently report a dir that isn't the live cache.
+    Returns None when disabled.
     """
-    global _ENABLED
+    global _ACTIVE_DIR
+    if _ACTIVE_DIR is not None:
+        return _ACTIVE_DIR
     env = os.environ.get("WINDTPU_COMPILE_CACHE", "")
     if env == "0":
         return None
@@ -46,8 +51,6 @@ def enable_persistent_cache() -> str | None:
             cache_dir = os.path.join(repo, ".jax_cache")
         else:
             cache_dir = os.path.expanduser("~/.cache/windtpu/xla")
-    if _ENABLED:
-        return cache_dir
 
     import jax
 
@@ -57,5 +60,5 @@ def enable_persistent_cache() -> str | None:
     # caching; disable the size/time thresholds that would skip them.
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
-    _ENABLED = True
+    _ACTIVE_DIR = cache_dir
     return cache_dir
