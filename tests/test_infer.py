@@ -59,6 +59,19 @@ class TestTiling:
         with pytest.raises(RuntimeError):
             plan_tiling(300, 300, 10, 96, 24, 0.05)
 
+    def test_exact_image_size_dimension(self):
+        """A dimension equal to image_size needs exactly one tile; the
+        blend formula alone would round it down to zero tiles and crash
+        on a negative-length shift array."""
+        for h, w in [(96, 200), (200, 96), (96, 96)]:
+            plan = plan_tiling(h, w, 24, 96, 24, 0.05)
+            assert plan.starts_y[0] == 0 and plan.starts_x[0] == 0
+            covered = np.zeros((h, w), bool)
+            for sy in plan.starts_y:
+                for sx in plan.starts_x:
+                    covered[sy:sy + 96, sx:sx + 96] = True
+            assert covered.all()
+
 
 TINY_M = ModelConfig(image_size=32, in_channels=3, noise_channels=2,
                      out_channels=2, sequence_length=4,

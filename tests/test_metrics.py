@@ -77,6 +77,41 @@ def test_spatial_ks_integral_image_equals_bruteforce(rng):
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+def test_spatial_ks_default_patch_size_matches_oracle(rng):
+    """Both default patch_size from the HEIGHT axis (reference
+    gan/metrics.py:166 uses shape[2]//10) — on a non-square field a
+    mismatched default would silently compare different statistics."""
+    real = rng.standard_normal((1, 1, 30, 50, 1)).astype(np.float32) * 5
+    fake = rng.standard_normal((1, 1, 30, 50, 1)).astype(np.float32) * 5
+    got = np.asarray(M.spatially_convolved_ks_stat(
+        jnp.array(real), jnp.array(fake), num_points=25))
+    want = O.spatial_ks_bruteforce_np(real, fake, num_points=25)
+    assert got.shape == want.shape == (28, 48)  # patch 30//10 = 3
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_extreme_rmse_axis_name_matches_global(rng):
+    """Under shard_map with the batch sharded, passing axis_name must make
+    the weight denominator global: mean-of-shards == single-device."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    from windtpu.core.mesh import make_mesh
+
+    real = rng.standard_normal((8, 2, 6, 6, 2)).astype(np.float32) * 3
+    fake = real + rng.standard_normal(real.shape).astype(np.float32)
+    whole = float(np.mean(np.asarray(
+        M.extreme_weighted_rmse(jnp.array(real), jnp.array(fake)))))
+    mesh = make_mesh({"data": 4})
+    sharded = jax.shard_map(
+        lambda r, f: jax.lax.pmean(
+            jnp.mean(M.extreme_weighted_rmse(r, f, axis_name="data")),
+            "data"),
+        mesh=mesh, in_specs=(P("data"), P("data")), out_specs=P())
+    got = float(sharded(jnp.array(real), jnp.array(fake)))
+    np.testing.assert_allclose(got, whole, rtol=1e-5)
+
+
 def test_spatial_ks_identical_fields_is_zero(rng):
     x = rng.standard_normal((1, 1, 12, 12, 2)).astype(np.float32)
     ks = np.asarray(M.spatially_convolved_ks_stat(

@@ -45,6 +45,37 @@ def test_tile_parallel_matches_single_device():
     np.testing.assert_allclose(a[m], b[m], atol=1e-5)
 
 
+def _noise_passthrough(v, patches, noise):
+    # Output IS the noise: any divergence in per-group PRNG folding
+    # between the single-device and sharded paths becomes visible.
+    return noise[..., :2]
+
+
+def test_tile_parallel_noise_matches_single_device():
+    """Sharded inference must fold the noise PRNG by the GLOBAL group
+    index: with local indices every device would draw the same noise for
+    its groups (spatially correlated realizations) and diverge from the
+    single-device predictor."""
+    mesh = make_mesh({"data": 4})
+    rng = np.random.RandomState(7)
+    field = jnp.asarray(rng.standard_normal((4, 64, 72, 3)).astype(np.float32))
+    plan = plan_tiling(64, 72, 4, 32, 4, TINY_I.overlap_factor)
+    single = make_tiled_predictor(TINY_M, TINY_I, plan,
+                                  apply_fn=_noise_passthrough)
+    sharded = make_tile_parallel_predictor(TINY_M, TINY_I, plan, mesh,
+                                           apply_fn=_noise_passthrough)
+    key = jax.random.key(5)
+    p1, _ = single({}, field, key)
+    p2, _ = sharded({}, field, key)
+    a, b = np.asarray(p1), np.asarray(p2)
+    np.testing.assert_array_equal(np.isnan(a), np.isnan(b))
+    m = ~np.isnan(a)
+    np.testing.assert_allclose(a[m], b[m], atol=1e-5)
+    # And the field is not all one repeated tile: distinct groups did get
+    # distinct noise (guards against a fold that collapses all indices).
+    assert np.nanstd(a) > 0
+
+
 def test_tile_parallel_quirk_stats_global():
     """Quirk normalization stats must be identical whether computed on one
     device or psum'ed across shards."""

@@ -118,9 +118,20 @@ def test_checkpoint_roundtrip(tmp_path, trained):
     for a, b in zip(jax.tree_util.tree_leaves(state.g_params),
                     jax.tree_util.tree_leaves(restored.g_params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-    # Generator-only restore for inference.
-    g_vars = ckpt.restore_generator(path, None)
+    # Generator-only restore for inference, validated against a template.
+    g_vars = ckpt.restore_generator(path, template.g_variables())
     assert set(g_vars) == {"params", "batch_stats", "spectral_stats"}
+    # A template from a different ModelConfig must fail loudly here, not
+    # deep inside apply().
+    import dataclasses
+
+    other = create_train_state(dataclasses.replace(
+        TINY, model=dataclasses.replace(TINY.model, generator_features=24)))
+    with pytest.raises(ValueError, match="shape|match"):
+        ckpt.restore_generator(path, other.g_variables())
+    # Saving the same step twice is a no-op, not an Orbax collision (the
+    # train loop's cadence save and final save can land on the same step).
+    assert ckpt.save_checkpoint(tmp_path, state) == path
 
 
 def test_train_on_synthetic_pipeline():

@@ -189,7 +189,18 @@ def _build_predict(
             return (canvas, counts), None
 
         num_groups = origins_g.shape[0]
-        xs = (jnp.arange(num_groups, dtype=jnp.int32), origins_g, weights_g)
+        # Global group index for the noise PRNG: under tile-parallel
+        # shard_map, origins_g is the LOCAL shard and every device would
+        # otherwise fold the key by 0..G/n-1, drawing identical noise on
+        # all shards (and diverging from the single-device predictor,
+        # which folds by the global index).  P(axis) shards axis 0 into
+        # contiguous blocks in device order, so the offset restores
+        # exactly the single-device numbering.  (The train step handles
+        # the same hazard via fold_in(rng, axis_index), wgan_gp.py.)
+        base = (jax.lax.axis_index(psum_axis) * num_groups
+                if psum_axis is not None else 0)
+        xs = (base + jnp.arange(num_groups, dtype=jnp.int32),
+              origins_g, weights_g)
         (canvas, counts), _ = jax.lax.scan(
             group_body, (canvas, counts), xs,
             unroll=_scan_unroll(num_groups))

@@ -77,8 +77,14 @@ def plan_tiling(
     max_cols = pixels_lon - image_size
     min_rows = math.ceil(pixels_lat / image_size)
     max_rows = pixels_lat - image_size
-    ncols = math.floor(min_cols + overlap_factor**2 * (max_cols - min_cols))
-    nrows = math.floor(min_rows + overlap_factor**2 * (max_rows - min_rows))
+    # Clamp to >=1: when a dimension equals image_size exactly, min=1 and
+    # max=0 make the blend formula go to floor(1 - f^2) = 0 and the
+    # planner would build a negative-length shift array (the guard above
+    # explicitly allows pixels == image_size, which needs exactly 1 tile).
+    ncols = max(1, math.floor(
+        min_cols + overlap_factor**2 * (max_cols - min_cols)))
+    nrows = max(1, math.floor(
+        min_rows + overlap_factor**2 * (max_rows - min_rows)))
 
     def starts(npatches: int, pixels: int) -> Tuple[int, ...]:
         if npatches == 1:

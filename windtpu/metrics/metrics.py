@@ -62,11 +62,19 @@ def wind_speed_weighted_rmse(real: jax.Array, fake: jax.Array) -> jax.Array:
     return jnp.sqrt(jnp.mean(result, axis=(1, 2, 3)))
 
 
-def extreme_weighted_rmse(real: jax.Array, fake: jax.Array) -> jax.Array:
+def extreme_weighted_rmse(real: jax.Array, fake: jax.Array,
+                          axis_name: Optional[str] = None) -> jax.Array:
     """RMSE weighted by wind extremeness, shape (B,).
-    Reference gan/metrics.py:66-73."""
+    Reference gan/metrics.py:66-73.
+
+    The weights are normalized by the sum over the WHOLE batch; when the
+    batch is sharded over a shard_map axis, pass ``axis_name`` so the
+    denominator is the global sum — otherwise each shard normalizes over
+    its local slice and the logged value depends on device count."""
     sq = real**2
     denom = jnp.sum(sq)
+    if axis_name is not None:
+        denom = jax.lax.psum(denom, axis_name)
     weights = jnp.where(denom == 0, jnp.zeros_like(sq), sq / denom)
     result = weights * (real - fake) ** 2
     result = _zero_nans(result)
@@ -196,7 +204,11 @@ def spatial_ks_scalar(real, fake, use_pallas: Optional[bool] = None,
     flagship size; windtpu.ops.pallas_ks) unless overridden.
     """
     if use_pallas is None:
-        use_pallas = jax.default_backend() not in ("cpu",)
+        # TPU only (incl. TPUs behind remote platforms like axon, whose
+        # backend name isn't "tpu" but whose device_kind is): the kernel
+        # uses TPU memory spaces and does not lower on GPU backends.
+        d = jax.devices()[0]
+        use_pallas = "tpu" in f"{d.platform} {d.device_kind}".lower()
     if use_pallas:
         from windtpu.ops.pallas_ks import spatial_ks_pallas
 

@@ -109,7 +109,10 @@ def spatial_ks_bruteforce_np(real, fake, patch_size=None, num_points=100,
     """Direct patch-extraction KS (the reference algorithm,
     gan/metrics.py:155-187), O(HW * patch^2) — test oracle only."""
     b, t, h, w, c = real.shape
-    patch_size = patch_size or w // 10
+    # Default from the HEIGHT axis (shape[2]), exactly like the library
+    # and the reference (gan/metrics.py:166) — a w//10 default here would
+    # silently compare different statistics on non-square fields.
+    patch_size = patch_size or h // 10
     points = np.linspace(lo, hi, num_points)
     oh, ow = h - patch_size + 1, w - patch_size + 1
     acc = np.zeros((oh, ow))

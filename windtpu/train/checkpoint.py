@@ -22,6 +22,12 @@ def save_checkpoint(directory, state: GANTrainState, step: Optional[int] = None)
     directory = os.fspath(directory)
     step = int(state.step) if step is None else int(step)
     path = os.path.join(os.path.abspath(directory), f"step_{step:08d}")
+    if os.path.exists(path):
+        # Same step == same state: the in-loop cadence save and the
+        # final save can both land on num_steps (Orbax raises on an
+        # existing destination; a completed dir here is a finished save
+        # — partial writes live under tmp names until renamed).
+        return path
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, jax.device_get(state))
     ckptr.wait_until_finished()
@@ -43,16 +49,39 @@ def restore_checkpoint(path, template: GANTrainState) -> GANTrainState:
                          jax.device_get(template))
 
 
-def restore_generator(path, template_vars):
+def restore_generator(path, template_vars=None):
     """Inference-only restore of the generator variables
-    {'params','batch_stats','spectral_stats'} from a full train checkpoint."""
+    {'params','batch_stats','spectral_stats'} from a full train checkpoint.
+
+    With ``template_vars`` (an initialized generator's variables) the
+    restored tree is validated leaf-by-leaf, so a checkpoint from a
+    different ModelConfig fails here with a clear message instead of an
+    opaque shape error deep inside apply()."""
     full = ocp.StandardCheckpointer().restore(
         os.path.abspath(os.fspath(path)))
-    return {
+    got = {
         "params": full["g_params"],
         "batch_stats": full["g_batch_stats"],
         "spectral_stats": full["g_spectral"],
     }
+    if template_vars is None:
+        return got
+    flat_got = dict(jax.tree_util.tree_flatten_with_path(got)[0])
+    flat_want = dict(jax.tree_util.tree_flatten_with_path(template_vars)[0])
+    if flat_got.keys() != flat_want.keys():
+        missing = sorted(map(str, flat_want.keys() - flat_got.keys()))
+        extra = sorted(map(str, flat_got.keys() - flat_want.keys()))
+        raise ValueError(
+            f"checkpoint {path} does not match the generator: "
+            f"missing={missing[:5]} extra={extra[:5]}")
+    for key, want in flat_want.items():
+        have = flat_got[key]
+        if tuple(have.shape) != tuple(want.shape):
+            raise ValueError(
+                f"checkpoint {path} leaf {jax.tree_util.keystr(key)}: "
+                f"shape {tuple(have.shape)} != expected {tuple(want.shape)}"
+                " (different ModelConfig?)")
+    return got
 
 
 # -- single-file generator weights (bundled-checkpoint format) ---------------

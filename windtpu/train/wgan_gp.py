@@ -47,6 +47,7 @@ from windtpu.train.losses import (
     discriminator_loss,
     generator_adversarial_loss,
     gradient_penalty_from_grads,
+    reconstruction_loss,
 )
 from windtpu.train.state import GANTrainState
 
@@ -84,6 +85,10 @@ def make_train_step(
     g_tx = optim.generator_optimizer(tcfg)
     d_tx = optim.discriminator_optimizer(tcfg)
     use_reco = feature_fn is not None and tcfg.reconstruction_coefficient > 0
+    # Shared loss helper (losses.reconstruction_loss) — not re-derived
+    # inline, so the formula can't drift between definitions.
+    reco_fn = (reconstruction_loss(feature_fn, tcfg.reconstruction_coefficient)
+               if use_reco else None)
     _detach_gp = getattr(tcfg, "detach_gp", False) if detach_gp is None else detach_gp
 
     def g_fwd(g_params, g_state, lr, noise, train):
@@ -215,9 +220,7 @@ def make_train_step(
             adv = generator_adversarial_loss(scores)
             reco = jnp.zeros(())
             if use_reco:
-                delta = (feature_fn(low_res[..., :2]) - feature_fn(fake))
-                reco = tcfg.reconstruction_coefficient * jnp.mean(
-                    jnp.sqrt(jnp.sum(delta**2, axis=-1)))
+                reco = reco_fn(low_res[..., :2], fake)
             return adv + reco, (g_state_new, d_sp_new, adv, reco)
 
         (g_loss_val, (g_state, d_sp, g_adv, g_reco)), g_grads = (
@@ -254,8 +257,12 @@ def make_train_step(
                 "d_fake": jnp.mean(fk_score),
                 "g_acd": jnp.mean(M.angular_cosine_distance(high_res, fake_e)),
                 "g_lsd": jnp.mean(M.log_spectral_distance(high_res, fake_e)),
+                # axis_name: the extremeness weights normalize over the
+                # GLOBAL batch sum; under shard_map each shard must psum
+                # the denominator or the value depends on device count.
                 "g_extreme_rmse": jnp.mean(
-                    M.extreme_weighted_rmse(high_res, fake_e)),
+                    M.extreme_weighted_rmse(high_res, fake_e,
+                                            axis_name=pmean_axis)),
                 "g_ws_weighted_rmse": jnp.mean(
                     M.wind_speed_weighted_rmse(high_res, fake_e)),
                 "g_ws_rmse": jnp.mean(M.wind_speed_rmse(high_res, fake_e)),
