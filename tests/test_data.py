@@ -76,6 +76,26 @@ class TestDecoders:
         out = WindComponentDecoder()(img)
         assert np.isnan(out[0, 0])
 
+    def test_wind_component_one_masked_pixel_does_not_poison(self, rng):
+        """Documented divergence from the reference: its np.mean/np.std
+        (data_generator.py:412) return all-NaN the moment __call__ masks
+        a single pixel; windtpu uses NaN-aware stats."""
+        img = rng.uniform(1, 5, (4, 8, 8, 2)).astype(np.float32)
+        img[0, 0, 0, 0] = 0.0  # one masked (ocean) cell
+        out = WindComponentDecoder()(img)
+        assert np.isnan(out[0, 0, 0, 0])
+        rest = np.delete(out.ravel(), 0)
+        assert np.isfinite(rest).all()
+
+    def test_wind_speed_decoder_normalize_is_usable(self):
+        """Documented divergence: the reference's normalize divides by
+        (hi - below_val) with below_val defaulting to NaN — all-NaN for
+        every input.  windtpu anchors at value_range[0] instead."""
+        img = np.array([[1.0, 2.0], [0.5, 3.0]], dtype=np.float32)
+        out = WindSpeedDecoder(normalize=True)(img)
+        assert np.isfinite(out).all()
+        assert out.min() >= 0.0 and out.max() <= 1.0
+
 
 class TestProviders:
     def test_pattern_regex(self):
@@ -231,6 +251,63 @@ class TestBatchGenerator:
         for _ in range(3):
             x, y = next(it)
             assert x.shape == (4, 3, 16, 16, 3)
+
+    def test_threaded_iterator_close_releases_workers(self):
+        """Closing the iterator must unblock workers parked in q.put on a
+        full queue — otherwise every discarded iterator leaks
+        num_workers threads plus their queued batches."""
+        import threading
+        import time
+
+        before = {t.ident for t in threading.enumerate()}
+        bg = self._bg()
+        bg.num_workers = 2
+        it = iter(bg)
+        next(it)            # workers running, queue filling to maxsize
+        time.sleep(0.5)     # let them block in q.put
+        it.close()          # consumer goes away
+        deadline = time.time() + 5
+        while time.time() < deadline:
+            leaked = [t for t in threading.enumerate()
+                      if t.ident not in before and t.is_alive()]
+            if not leaked:
+                break
+            time.sleep(0.1)
+        assert not leaked, f"worker threads leaked: {leaked}"
+
+    def test_num_workers_flows_from_config(self):
+        import dataclasses
+
+        cfg = dataclasses.replace(self.CFG, num_workers=3)
+        dates = ["20200101"]
+        bg = BatchGenerator(
+            SyntheticDayProvider(dates, cfg.input_variables, ny=32, nx=32,
+                                 nt=6),
+            output_provider=SyntheticDayProvider(dates, cfg.output_variables,
+                                                 ny=32, nx=32, nt=6, seed=7),
+            config=cfg, seed=0)
+        assert bg.num_workers == 3          # config value, not a dead field
+        bg2 = BatchGenerator(
+            SyntheticDayProvider(dates, cfg.input_variables, ny=32, nx=32,
+                                 nt=6),
+            output_provider=SyntheticDayProvider(dates, cfg.output_variables,
+                                                 ny=32, nx=32, nt=6, seed=7),
+            config=cfg, num_workers=1, seed=0)
+        assert bg2.num_workers == 1         # explicit argument wins
+
+    def test_short_day_raises_with_context(self):
+        import dataclasses
+
+        cfg = dataclasses.replace(self.CFG, sequence_length=8)
+        dates = ["20200101"]
+        bg = BatchGenerator(
+            SyntheticDayProvider(dates, cfg.input_variables, ny=32, nx=32,
+                                 nt=4),
+            output_provider=SyntheticDayProvider(dates, cfg.output_variables,
+                                                 ny=32, nx=32, nt=4, seed=7),
+            config=cfg, seed=0)
+        with pytest.raises(ValueError, match="20200101.*nt=4"):
+            next(iter(bg))
 
     def test_device_iterator_sharded(self):
         from windtpu.core.mesh import make_mesh

@@ -55,3 +55,24 @@ def test_inference_deterministic_per_key():
     p2, _ = downscale_field(g_vars, jax.numpy.asarray(field), m, icfg,
                             key=jax.random.key(3))
     np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+
+
+def test_keystream_fork_is_process_stable():
+    """fork(name) must not depend on Python's randomized str hash: the
+    same seed + name must give the same key in every interpreter
+    (PYTHONHASHSEED), or named streams desynchronize across hosts."""
+    import subprocess
+    import sys
+
+    code = ("import jax, numpy as np; jax.config.update('jax_platforms','cpu'); "
+            "from windtpu.core.prng import KeyStream; "
+            "k = KeyStream(0).fork('noise').next(); "
+            "print(np.asarray(jax.random.key_data(k)).tolist())")
+    outs = set()
+    for seed in ("0", "12345"):
+        env = {**__import__('os').environ, "PYTHONHASHSEED": seed,
+               "JAX_PLATFORMS": "cpu"}
+        r = subprocess.run([sys.executable, "-c", code], env=env,
+                           capture_output=True, text=True, check=True)
+        outs.add(r.stdout.strip().splitlines()[-1])
+    assert len(outs) == 1, f"fork() key differs across hash seeds: {outs}"

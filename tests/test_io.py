@@ -97,6 +97,46 @@ class TestDataset:
         assert merged.sizes["time"] == 24
         np.testing.assert_allclose(merged["u10"].values, ds["u10"].values)
 
+    def test_concat_time_missing_variable_is_loud(self):
+        """A time-dimensioned variable absent from one input must raise a
+        clear error, not crash later with a dim-length mismatch."""
+        import pytest
+
+        ds = _sample_ds()
+        a = ds.isel(time=slice(0, 12))
+        b = ds.isel(time=slice(12, 24))[["u10"]]
+        with pytest.raises(ValueError, match="v10"):
+            concat_time(a, b)
+        with pytest.raises(ValueError, match="v10"):
+            concat_time(b, a)
+
+    def test_h5_placeholder_dimension_is_not_a_coord(self, tmp_path):
+        """netCDF4/xarray write zero-valued placeholder dimension scales
+        for dims without coordinate variables (NAME attr is bytes); they
+        must be skipped, not surfaced as phantom zero coords."""
+        h5py = pytest.importorskip("h5py")
+        path = tmp_path / "placeholder.nc"
+        with h5py.File(path, "w") as f:
+            t = f.create_dataset("time", data=np.zeros(4))
+            t.attrs["CLASS"] = np.bytes_("DIMENSION_SCALE")
+            t.attrs["NAME"] = np.bytes_(
+                "This is a netCDF dimension but not a netCDF variable."
+                "         4")
+            lat = f.create_dataset("latitude", data=np.array([1.0, 2.0]))
+            lat.attrs["CLASS"] = np.bytes_("DIMENSION_SCALE")
+            lat.attrs["NAME"] = np.bytes_("latitude")
+            v = f.create_dataset("u10", data=np.ones((4, 2), np.float32))
+            v.dims[0].attach_scale(t)
+            v.dims[1].attach_scale(lat)
+            v.dims[0].label = "time"
+            v.dims[1].label = "latitude"
+        ds = open_dataset(path)
+        assert "time" not in ds.coords          # placeholder skipped
+        assert "latitude" in ds.coords          # real scale kept
+        assert ds["u10"].dims == ("time", "latitude")
+        np.testing.assert_array_equal(ds.coords["latitude"].values,
+                                      [1.0, 2.0])
+
 
 class TestGeoTIFF:
     def test_roundtrip(self, tmp_path):

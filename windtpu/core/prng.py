@@ -9,6 +9,7 @@ every call site.
 from __future__ import annotations
 
 import dataclasses
+import zlib
 
 import jax
 
@@ -36,4 +37,8 @@ class KeyStream:
         return out
 
     def fork(self, name: str) -> "KeyStream":
-        return KeyStream(jax.random.fold_in(self.next(), hash(name) % (2**31)))
+        # Stable digest, NOT Python's hash(): str hashing is randomized
+        # per process (PYTHONHASHSEED), which would give a different child
+        # stream every run and desynchronize named streams across hosts.
+        tag = zlib.crc32(name.encode("utf-8")) & 0x7FFFFFFF
+        return KeyStream(jax.random.fold_in(self.next(), tag))

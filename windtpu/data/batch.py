@@ -95,7 +95,7 @@ class BatchGenerator:
         start_date=None,
         end_date=None,
         config: DataConfig = DataConfig(),
-        num_workers: int = 1,
+        num_workers: Optional[int] = None,
         seed: Optional[int] = None,
     ):
         self.cfg = config
@@ -112,7 +112,10 @@ class BatchGenerator:
         self.dates = sorted(dates)
         if not self.dates:
             raise ValueError("no dates available from providers")
-        self.num_workers = num_workers
+        # None -> the config's value, so DataConfig(num_workers=...) is not
+        # silently dead configuration; an explicit argument wins.
+        self.num_workers = (config.num_workers if num_workers is None
+                            else num_workers)
         self.reset(seed)
 
     # -- core sampling ---------------------------------------------------------
@@ -162,6 +165,11 @@ class BatchGenerator:
                     day_y = _open_day(out_loaded, cfg.output_variables)
         some = next(iter(day_x.values()))
         nt, ny, nx = some.shape
+        if nt < cfg.sequence_length or ny < cfg.patch_size or nx < cfg.patch_size:
+            raise ValueError(
+                f"day {date}: shape (nt={nt}, ny={ny}, nx={nx}) too small "
+                f"for sequence_length={cfg.sequence_length}, "
+                f"patch_size={cfg.patch_size}")
         xs, ys = [], []
         for _ in range(cfg.batch_size):
             t0 = self._prng.randint(0, nt + 1 - cfg.sequence_length)
@@ -195,6 +203,19 @@ class BatchGenerator:
         lock = threading.Lock()
         counter = {"i": -1}
 
+        def put(item) -> bool:
+            """Enqueue, polling the stop event: a worker blocked forever
+            in q.put on a full queue after the consumer went away would
+            leak the thread plus its queued batches for every discarded
+            iterator (the loop-break case, not just exhaustion)."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def worker():
             while not stop.is_set():
                 with lock:
@@ -203,9 +224,10 @@ class BatchGenerator:
                 try:
                     item = self.generate(date)
                 except Exception as e:  # surface errors to the consumer
-                    q.put(e)
+                    put(e)
                     return
-                q.put(item)
+                if not put(item):
+                    return
 
         threads = [threading.Thread(target=worker, daemon=True)
                    for _ in range(self.num_workers)]

@@ -1,8 +1,24 @@
-"""Normalizers ("decoders") — numpy host-side, matching the reference
-semantics exactly (data_generator.py:338-417).
+"""Normalizers ("decoders") — numpy host-side (reference
+data_generator.py:338-417).
 
-These run on the host data pipeline before device infeed; reductions are
-over axes (0, 1, 2) of a single (T, H, W, C) patch, i.e. per channel.
+NaiveDecoder (the default everywhere) matches the reference exactly:
+per-channel z-score over axes (0, 1, 2) of a single (T, H, W, C) patch
+with NaN-aware statistics.
+
+Two documented divergences in the range-clip decoders, whose reference
+implementations are unusable with their own defaults:
+
+* ``WindComponentDecoder.normalize`` uses NaN-aware ``np.nanmean`` /
+  ``np.nanstd`` (the reference's plain ``np.mean``/``np.std``,
+  data_generator.py:412, returns all-NaN the moment a single masked
+  pixel exists — and its own ``__call__`` writes NaN for every
+  zero/out-of-range value).  The global-scalar (not per-channel)
+  reduction is kept as-is.
+* ``WindSpeedDecoder.normalize`` anchors the affine map at
+  ``value_range[0]`` when ``below_val`` is NaN (the default).  The
+  reference normalizes against ``below_val`` directly
+  (data_generator.py:384-389), which is NaN arithmetic for its default
+  construction and returns all-NaN for every input.
 """
 
 from __future__ import annotations
@@ -56,6 +72,13 @@ class _RangeClipDecoder:
             img_dec = self.normalize(img_dec)
         return img_dec
 
+    @property
+    def _floor(self):
+        """Finite lower anchor: below_val when finite, else the range
+        minimum (divergence note in the module docstring)."""
+        return (self.value_range[0] if np.isnan(self.below_val)
+                else self.below_val)
+
 
 class WindSpeedDecoder(_RangeClipDecoder):
     """Log-range clip decoder for wind speed (reference :363-389)."""
@@ -65,10 +88,10 @@ class WindSpeedDecoder(_RangeClipDecoder):
         super().__init__(value_range, below_val, normalize)
 
     def normalize(self, img):
-        return (img - self.below_val) / (self.value_range[1] - self.below_val)
+        return (img - self._floor) / (self.value_range[1] - self._floor)
 
     def denormalize(self, img, set_nan=True):
-        img = img * (self.value_range[1] - self.below_val) + self.below_val
+        img = img * (self.value_range[1] - self._floor) + self._floor
         img[img < self.value_range[0]] = self.below_val
         if set_nan:
             img[img == self.below_val] = np.nan
@@ -84,10 +107,10 @@ class WindComponentDecoder(_RangeClipDecoder):
         super().__init__(value_range, below_val, normalize)
 
     def normalize(self, img):
-        return (img - np.mean(img)) / np.std(img)
+        return (img - np.nanmean(img)) / np.nanstd(img)
 
     def denormalize(self, img, set_nan=True):
-        img = img * np.std(img) + np.mean(img)
+        img = img * np.nanstd(img) + np.nanmean(img)
         img[img < self.value_range[0]] = self.below_val
         if set_nan:
             img[img == self.below_val] = np.nan

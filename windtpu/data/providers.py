@@ -13,6 +13,7 @@ import abc
 import os
 import re
 import subprocess
+import shutil
 import tempfile
 from contextlib import contextmanager
 from pathlib import Path
@@ -120,6 +121,7 @@ class _ObjectStoreProvider(Provider):
             raise ValueError("Expected a {date} placeholder in " + pattern)
         self.pattern = pattern
         self._regex = _pattern_to_regex(pattern)
+        self._tempdirs: dict = {}
 
     def _url(self, name: str = "") -> str:
         return f"{self.scheme}://{self.bucket}/{name}"
@@ -151,16 +153,23 @@ class _ObjectStoreProvider(Provider):
     def load(self, date: str) -> str:
         dest = tempfile.mkdtemp()
         name = _substitute_date(self.pattern, date)
-        self._run([*self.fetch_cmd, self._url(name), dest + "/"])
-        return f"{dest}/{name}"
+        try:
+            self._run([*self.fetch_cmd, self._url(name), dest + "/"])
+        except Exception:
+            shutil.rmtree(dest, ignore_errors=True)  # no orphan tempdir
+            raise
+        path = f"{dest}/{name}"
+        self._tempdirs[path] = dest
+        return path
 
     def unload(self, loaded) -> None:
-        p = Path(loaded)
-        p.unlink(missing_ok=True)
-        try:                     # remove the per-load mkdtemp directory too
-            p.parent.rmdir()
-        except OSError:
-            pass
+        # Remove the whole per-load mkdtemp root (not just the file: for
+        # patterns with a subdirectory, the file's parent isn't the root).
+        root = self._tempdirs.pop(str(loaded), None)
+        if root is not None:
+            shutil.rmtree(root, ignore_errors=True)
+        else:
+            Path(loaded).unlink(missing_ok=True)
 
 
 class S3FileProvider(_ObjectStoreProvider):

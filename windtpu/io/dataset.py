@@ -363,33 +363,44 @@ def _open_h5(path) -> Dataset:
                     # A dimension scale IS its own dimension.
                     dims.append(base0)
                     continue
+                # Dimension name resolution order: the proxy's LABEL (what
+                # netCDF4/xarray set), else the attached scale dataset's
+                # path basename — NOT the scale's NAME attribute, which
+                # for placeholder dims is the sentinel sentence.
+                label = None
                 try:
                     proxy = d.dims[i]
-                    if len(proxy) > 0:
-                        label = list(proxy)[0]  # scale label (string)
-                        if label:
-                            dims.append(label.split("/")[-1])
-                        else:
-                            dims.append(proxy[0].name.split("/")[-1])
-                    else:
-                        dims.append(f"{name}_dim{i}")
+                    lbl = proxy.label
+                    if isinstance(lbl, bytes):
+                        lbl = lbl.decode("utf-8", "replace")
+                    if lbl:
+                        label = lbl.split("/")[-1]
+                    elif len(proxy) > 0:
+                        label = proxy[0].name.split("/")[-1]
                 except Exception:
-                    dims.append(f"{name}_dim{i}")
+                    pass
+                dims.append(label or f"{name}_dim{i}")
             vals = _apply_cf(d[...], attrs)
             base = name.split("/")[-1]
             arr = DataArray(tuple(dims), vals, attrs)
             is_scale = d.attrs.get("CLASS") == b"DIMENSION_SCALE"
-            if (is_scale and not str(d.attrs.get("NAME", b"")).startswith(
-                    "This is a netCDF dimension")) or (
-                    is_scale and base in dims):
+            # netCDF4/xarray write a PLACEHOLDER dimension scale (all
+            # zeros) for dims that have no coordinate variable, marked by
+            # this NAME attribute.  It arrives as bytes — decode before
+            # matching, or every placeholder becomes a phantom zero-valued
+            # coord that scrambles open_mfdataset's time sort.
+            name_attr = d.attrs.get("NAME", b"")
+            if isinstance(name_attr, bytes):
+                name_attr = name_attr.decode("utf-8", "replace")
+            is_placeholder = is_scale and name_attr.startswith(
+                "This is a netCDF dimension")
+            if is_scale and not is_placeholder:
                 coords[base] = arr
             elif attrs.pop("_windtpu_coord", False):
                 coords[base] = arr
-            else:
-                if is_scale:
-                    # Placeholder netCDF dimension without values: skip.
-                    continue
+            elif not is_scale:
                 data_vars[base] = arr
+            # else: placeholder dimension without values — skip.
         ds_attrs = {k: f.attrs[k] for k in f.attrs}
     return Dataset(data_vars, coords, ds_attrs)
 
@@ -443,11 +454,21 @@ def concat_time(a: Dataset, b: Dataset) -> Dataset:
     if "time" not in a.coords or "time" not in b.coords:
         return a.merge(b)
     times = np.concatenate([a.coords["time"].values, b.coords["time"].values])
-    order = np.argsort(times)
+    # Stable sort: ties (e.g. identical timestamps across files) must
+    # preserve input file order deterministically.
+    order = np.argsort(times, kind="stable")
     data_vars = {}
     for name in a.data_vars:
         va = a.data_vars[name]
-        if "time" in va.dims and name in b.data_vars:
+        if "time" in va.dims:
+            if name not in b.data_vars:
+                # Passing it through unconcatenated would crash later
+                # with a dim-length mismatch that names neither the
+                # variable nor the cause — fail here with both.
+                raise ValueError(
+                    f"cannot concatenate along time: variable {name!r} "
+                    "has a time dimension but is missing from one of the "
+                    "inputs")
             ax = va.dims.index("time")
             merged = np.concatenate(
                 [va.values, b.data_vars[name].values], axis=ax)
@@ -457,6 +478,11 @@ def concat_time(a: Dataset, b: Dataset) -> Dataset:
             data_vars[name] = va
     for name, vb in b.data_vars.items():
         if name not in data_vars:
+            if "time" in vb.dims:
+                raise ValueError(
+                    f"cannot concatenate along time: variable {name!r} "
+                    "has a time dimension but is missing from one of the "
+                    "inputs")
             data_vars[name] = vb
     coords = {**b.coords, **a.coords}
     coords["time"] = DataArray(("time",), times[order])

@@ -124,10 +124,6 @@ class TimeConv(nn.Module):
         if isinstance(pad, int):
             pad = [(pad, pad), (pad, pad)]
         folded, b = fold_time(x)
-        conv = nn.Conv(
-            self.features, self.kernel_size, strides=self.strides,
-            padding=pad, dtype=self.dtype, name="conv",
-        )
         if self.use_spectral_norm:
             # Normalize the conv kernel before application.
             kernel = self.param(
@@ -155,7 +151,10 @@ class TimeConv(nn.Module):
                 y = run_conv(folded, kernel)
             y = y + bias.astype(y.dtype)
         else:
-            y = conv(folded)
+            y = nn.Conv(
+                self.features, self.kernel_size, strides=self.strides,
+                padding=pad, dtype=self.dtype, name="conv",
+            )(folded)
         if self.activation is not None:
             y = self.activation(y)
         return unfold_time(y, b)
