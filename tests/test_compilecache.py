@@ -32,7 +32,14 @@ def test_enable_sets_jax_config(tmp_path, monkeypatch,
     cc = restore_jax_cache_config
     monkeypatch.setenv("WINDTPU_COMPILE_CACHE", str(tmp_path / "cache"))
     got = cc.enable_persistent_cache()
-    assert got == str(tmp_path / "cache")
+    # On a CPU backend the cache is partitioned per machine: XLA:CPU
+    # entries are AOT artifacts for the build host's CPU features.
+    expect = str(tmp_path / "cache")
+    if jax.default_backend() == "cpu":
+        expect = os.path.join(expect, "cpu-" + cc._host_fingerprint())
+        assert len(cc._host_fingerprint()) == 12
+        assert cc._host_fingerprint() == cc._host_fingerprint()
+    assert got == expect
     assert os.path.isdir(got)
     assert jax.config.jax_compilation_cache_dir == got
     assert jax.config.jax_persistent_cache_min_entry_size_bytes == -1

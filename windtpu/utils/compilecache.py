@@ -8,8 +8,11 @@ eliminates this entirely on repeat runs — the same matmul drops to
 0.84 s from a warm cache — so every process-level entry point (bench,
 CLI, driver entry, trainers) opts in by default.
 
-The cache is keyed by HLO + compile options + backend version, so a
-stale entry can never produce wrong results, only a miss.
+TPU entries are keyed by HLO + compile options + backend version, so a
+stale entry can never produce wrong results, only a miss.  XLA:CPU
+entries are additionally host-specific (AOT-compiled for the build
+machine's CPU features — loading them elsewhere risks SIGILL), so on a
+CPU backend the cache lives in a per-machine subdirectory.
 
 Environment:
 
@@ -54,6 +57,14 @@ def enable_persistent_cache() -> str | None:
 
     import jax
 
+    # XLA:CPU cache entries are AOT-compiled for the *build* machine's CPU
+    # feature set; loading one on a host with fewer features warns and can
+    # SIGILL.  The cache key does not include host features, so partition
+    # CPU entries into a per-machine subdirectory.  (TPU entries are safe:
+    # keyed by HLO + backend version, executed remotely.)
+    if jax.default_backend() == "cpu":
+        cache_dir = os.path.join(cache_dir, "cpu-" + _host_fingerprint())
+
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     # Remote-platform RPC latency makes even sub-second compiles worth
@@ -62,3 +73,20 @@ def enable_persistent_cache() -> str | None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
     _ACTIVE_DIR = cache_dir
     return cache_dir
+
+
+def _host_fingerprint() -> str:
+    """Short stable hash of this host's CPU feature flags."""
+    import hashlib
+    import platform
+
+    text = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    text += line
+                    break
+    except OSError:
+        text += platform.processor()
+    return hashlib.sha256(text.encode()).hexdigest()[:12]
