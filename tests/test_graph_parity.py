@@ -418,5 +418,5 @@ class TestSpectralSigma:
         vv /= np.linalg.norm(vv)
         vu2 = vv @ w
         vu2 /= np.linalg.norm(vu2)
-        sigma = float(vv @ w @ vu2.T)
+        sigma = float((vv @ w @ vu2.T).item())
         np.testing.assert_allclose(ours, kernel / sigma, rtol=2e-5)
