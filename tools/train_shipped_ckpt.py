@@ -191,6 +191,13 @@ def main():
                          "checkpoints (enables --resume)")
     ap.add_argument("--resume", action="store_true",
                     help="resume from the latest checkpoint in --ckpt-dir")
+    ap.add_argument("--init-npz", default=None,
+                    help="warm-start the generator from a save_generator_npz "
+                         "file (fresh critic and optimizers); ignored when "
+                         "--resume finds a full train-state checkpoint. The "
+                         "reconstruction anchor keeps the generator pinned "
+                         "to the blurred input's large scales while the "
+                         "fresh critic catches up")
     args = ap.parse_args()
 
     import jax
@@ -232,6 +239,13 @@ def main():
             state = restore_checkpoint(latest, state)
             start_step = int(state.step)
             print(f"resumed from {latest} at step {start_step}", flush=True)
+    if args.init_npz and start_step == 0:
+        from windtpu.train.checkpoint import load_generator_npz
+        g_vars = load_generator_npz(args.init_npz, state.g_variables())
+        state = state.replace(g_params=g_vars["params"],
+                              g_batch_stats=g_vars["batch_stats"],
+                              g_spectral=g_vars["spectral_stats"])
+        print(f"warm-started generator from {args.init_npz}", flush=True)
 
     rng = np.random.RandomState(0)
     print(f"synthesizing {args.domains} terrains x {args.days} days...",
