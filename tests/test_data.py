@@ -252,6 +252,28 @@ class TestBatchGenerator:
             x, y = next(it)
             assert x.shape == (4, 3, 16, 16, 3)
 
+    def test_threaded_iteration_is_seed_deterministic(self):
+        """Per-item PRNG streams + ordered delivery: the batch sequence
+        from a seeded generator must not depend on thread scheduling or
+        worker count (reference OrderedEnqueuer contract)."""
+        def take(workers, n=4):
+            bg = self._bg(seed=6)
+            bg.num_workers = workers
+            it = iter(bg)
+            out = [next(it) for _ in range(n)]
+            it.close()
+            return out
+
+        a, b = take(2), take(2)
+        for (xa, ya), (xb, yb) in zip(a, b):
+            np.testing.assert_array_equal(xa, xb)
+            np.testing.assert_array_equal(ya, yb)
+        # Worker count must not change the delivered sequence either.
+        c = take(3)
+        for (xa, ya), (xc, yc) in zip(a, c):
+            np.testing.assert_array_equal(xa, xc)
+            np.testing.assert_array_equal(ya, yc)
+
     def test_threaded_iterator_close_releases_workers(self):
         """Closing the iterator must unblock workers parked in q.put on a
         full queue — otherwise every discarded iterator leaks

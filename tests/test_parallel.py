@@ -106,3 +106,33 @@ def test_distributed_initialize_noop_single_process(monkeypatch):
     monkeypatch.delenv("TPU_WORKER_HOSTNAMES", raising=False)
     monkeypatch.delenv("MEGASCALE_COORDINATOR_ADDRESS", raising=False)
     assert initialize_distributed() is False
+
+
+def test_shard_map_batch_stats_replicated():
+    """BatchNorm running stats are data-dependent, so each shard computes
+    different values; the explicit-collective step must pmean them or the
+    'replicated' output state silently holds one arbitrary shard's stats."""
+    from jax import shard_map
+
+    mesh = make_mesh({"data": 4})
+    state = create_train_state(CFG)
+    raw = make_train_step(CFG, pmean_axis="data", jit_wrap=False)
+
+    def body(st, lr, hr, rng):
+        new_state, _ = raw(st, lr, hr, rng)
+        # Expose every device's copy of the stats along a leading axis.
+        return jax.tree_util.tree_map(lambda a: a[None],
+                                      new_state.g_batch_stats)
+
+    fn = jax.jit(shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P("data"), P("data"), P()),
+        out_specs=P("data"), check_vma=False))
+    lr, hr = _batch(seed=7)
+    stats = jax.device_get(fn(state, lr, hr, jax.random.key(2)))
+    leaves = jax.tree_util.tree_leaves(stats)
+    assert leaves, "generator has no batch_stats?"
+    for leaf in leaves:
+        assert leaf.shape[0] == 4
+        for i in range(1, 4):
+            np.testing.assert_array_equal(leaf[0], leaf[i])

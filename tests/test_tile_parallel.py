@@ -94,3 +94,18 @@ def test_tile_parallel_quirk_stats_global():
     a, b = np.asarray(p1), np.asarray(p2)
     m = ~np.isnan(a)
     np.testing.assert_allclose(a[m], b[m], atol=1e-5)
+
+
+def test_tile_parallel_predictor_memoized():
+    """Repeated downscale_field(mesh=...) calls over same-shaped domains
+    must reuse the compiled shard_map program (same memoization as the
+    single-device make_tiled_predictor)."""
+    mesh = make_mesh({"data": 8})
+    plan = plan_tiling(64, 72, 4, 32, 4, TINY_I.overlap_factor)
+    p1 = make_tile_parallel_predictor(TINY_M, TINY_I, plan, mesh)
+    p2 = make_tile_parallel_predictor(TINY_M, TINY_I, plan, mesh)
+    assert p1 is p2
+    # A custom apply_fn must NOT be memoized (unhashable, test-only path).
+    p3 = make_tile_parallel_predictor(TINY_M, TINY_I, plan, mesh,
+                                      apply_fn=_identity)
+    assert p3 is not p1

@@ -331,3 +331,49 @@ def test_loop_wires_perceptual_reconstruction():
     )
     state, history = train(cfg, iter(bg), num_steps=1, log_every=1)
     assert float(history[-1][1]["g_reco_loss"]) > 0.0
+
+
+def test_latest_checkpoint_ignores_orbax_tmp(tmp_path):
+    """An interrupted Orbax save leaves step_N.orbax-checkpoint-tmp-<ts>
+    beside the finished checkpoints; resume must never pick it (it sorts
+    lexicographically after the real step_N)."""
+    for name in ("step_00000099", "step_00000100",
+                 "step_00000100.orbax-checkpoint-tmp-1755500000",
+                 "step_00000101.orbax-checkpoint-tmp-1755500001"):
+        (tmp_path / name).mkdir()
+    latest = ckpt.latest_checkpoint(tmp_path)
+    assert latest is not None and latest.endswith("step_00000100")
+
+
+def test_train_step_follows_batch_time_length():
+    """Noise/instance-noise shapes come from the batch, not ModelConfig:
+    the recurrent nets handle any sequence length, so a batch with a
+    different T than the config's nominal one must train."""
+    state = create_train_state(TINY)
+    step = make_train_step(TINY)
+    m = TINY.model
+    k1, k2 = jax.random.split(jax.random.key(11))
+    t = m.sequence_length + 2
+    lr = jax.random.normal(k1, (2, t, m.image_size, m.image_size,
+                                m.in_channels))
+    hr = jax.random.normal(k2, (2, t, m.image_size, m.image_size,
+                                m.out_channels))
+    state, metrics = step(state, lr, hr, jax.random.key(12))
+    assert int(state.step) == 1
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+
+
+def test_train_step_channel_mismatch_fails_fast():
+    """A batch whose channel count disagrees with ModelConfig.in_channels
+    must raise a clear error at trace time, not an opaque concat-shape
+    error deep inside the generator."""
+    state = create_train_state(TINY)
+    step = make_train_step(TINY)
+    m = TINY.model
+    lr = jnp.zeros((2, m.sequence_length, m.image_size, m.image_size,
+                    m.in_channels + 7))
+    hr = jnp.zeros((2, m.sequence_length, m.image_size, m.image_size,
+                    m.out_channels))
+    with pytest.raises(ValueError, match="in_channels"):
+        step(state, lr, hr, jax.random.key(0))

@@ -180,10 +180,11 @@ class InferenceConfig:
     overlap_factor: float = 0.05
     border_crop: int = 2
     group_size: int = 16  # BATCH_SIZE * 2, reference api.py:132
-    # The reference normalizes the stacked 5-D patch tensor over axes
-    # (0, 1, 2) = (patch, time, lon) — NOT per-channel (api.py:128-129).
+    # The reference normalizes the stacked 5-D (patch, time, lat, lon,
+    # channel) tensor over axes (0, 1, 2) = (patch, time, lat), keeping
+    # per-(lon, channel) statistics — NOT per-channel (api.py:128-129).
     # True replicates that quirk bit-for-bit; False normalizes per-channel
-    # over (patch, time, lon, lat), which is almost surely the intent.
+    # over (patch, time, lat, lon), which is almost surely the intent.
     replicate_normalization_quirk: bool = True
     # Ensemble members for stochastic inference (one per device when the
     # mesh has an 'ensemble' axis).

@@ -10,7 +10,9 @@ TPU-first differences:
 
 * batches are produced by a background thread pool into a bounded queue
   (device infeed never waits on NetCDF decode) instead of a Keras
-  OrderedEnqueuer multiprocessing pool;
+  OrderedEnqueuer multiprocessing pool — with the same ordered-delivery
+  contract: per-item PRNG streams plus consumer-side reordering make a
+  seeded run's batch sequence independent of worker count and scheduling;
 * a :class:`SyntheticDayProvider` fabricates deterministic in-memory days so
   the whole training stack is testable with zero external data
   (SURVEY.md §7 build plan step 3);
@@ -120,8 +122,20 @@ class BatchGenerator:
 
     # -- core sampling ---------------------------------------------------------
     def reset(self, seed=None):
+        self._seed = seed
         self._prng = np.random.RandomState(seed)
         self._date_index = -1
+
+    def _item_prng(self, index: int) -> "np.random.RandomState":
+        """Deterministic per-item stream for the threaded path: the crop and
+        augmentation draws for batch #index must not depend on which worker
+        produced it or on thread scheduling — a single RandomState shared
+        across workers would make seeded runs irreproducible.  Golden-ratio
+        stride decorrelates consecutive item seeds."""
+        if self._seed is None:
+            return np.random.RandomState()
+        return np.random.RandomState(
+            (int(self._seed) + 0x9E3779B1 * (index + 1)) % (2 ** 32))
 
     def __len__(self):
         return len(self.dates)
@@ -139,23 +153,25 @@ class BatchGenerator:
             stack.append(arr)
         return np.stack(stack, axis=-1)  # (T, P, P, C)
 
-    def _augment(self, x: np.ndarray, y: Optional[np.ndarray]):
+    def _augment(self, x: np.ndarray, y: Optional[np.ndarray], prng=None):
         """Random flips + k*90-degree rotation on the two spatial axes
         (reference data_generator.py:271-290; here axes (1, 2) of
         (T, H, W, C))."""
-        if self._prng.randint(2):
+        prng = self._prng if prng is None else prng
+        if prng.randint(2):
             x = np.flip(x, axis=1)
             y = np.flip(y, axis=1) if y is not None else None
-        if self._prng.randint(2):
+        if prng.randint(2):
             x = np.flip(x, axis=2)
             y = np.flip(y, axis=2) if y is not None else None
-        k = self._prng.randint(4)
+        k = prng.randint(4)
         if k:
             x = np.rot90(x, k=k, axes=(1, 2))
             y = np.rot90(y, k=k, axes=(1, 2)) if y is not None else None
         return x, y
 
-    def generate(self, date: str):
+    def generate(self, date: str, prng=None):
+        prng = self._prng if prng is None else prng
         cfg = self.cfg
         with self.input_provider.provide(date) as in_loaded:
             day_x = _open_day(in_loaded, cfg.input_variables)
@@ -172,16 +188,16 @@ class BatchGenerator:
                 f"patch_size={cfg.patch_size}")
         xs, ys = [], []
         for _ in range(cfg.batch_size):
-            t0 = self._prng.randint(0, nt + 1 - cfg.sequence_length)
-            y0 = self._prng.randint(0, ny + 1 - cfg.patch_size)
-            x0 = self._prng.randint(0, nx + 1 - cfg.patch_size)
+            t0 = prng.randint(0, nt + 1 - cfg.sequence_length)
+            y0 = prng.randint(0, ny + 1 - cfg.patch_size)
+            x0 = prng.randint(0, nx + 1 - cfg.patch_size)
             x = self._random_crop(day_x, t0, y0, x0, cfg.input_variables)
             x = self.decoder(x)
             y = (self._random_crop(day_y, t0, y0, x0, cfg.output_variables,
                                    elevation_scale=False)
                  if day_y is not None else None)
             if cfg.transform:
-                x, y = self._augment(x, y)
+                x, y = self._augment(x, y, prng)
             xs.append(x)
             ys.append(y)
         xb = np.stack(xs, axis=0).astype(np.float32)
@@ -220,13 +236,16 @@ class BatchGenerator:
             while not stop.is_set():
                 with lock:
                     counter["i"] += 1
-                    date = self.dates[counter["i"] % len(self.dates)]
+                    index = counter["i"]
+                date = self.dates[index % len(self.dates)]
                 try:
-                    item = self.generate(date)
+                    # Per-item PRNG stream: draws depend on the item index,
+                    # never on which worker ran it or on scheduling.
+                    item = self.generate(date, prng=self._item_prng(index))
                 except Exception as e:  # surface errors to the consumer
-                    put(e)
+                    put((index, e))
                     return
-                if not put(item):
+                if not put((index, item)):
                     return
 
         threads = [threading.Thread(target=worker, daemon=True)
@@ -234,8 +253,18 @@ class BatchGenerator:
         for t in threads:
             t.start()
         try:
+            # Ordered delivery (reference OrderedEnqueuer semantics,
+            # data_generator.py:132-138): workers race, the consumer
+            # reorders.  Out-of-order buffering is bounded by
+            # num_workers + queue size.
+            pending = {}
+            next_index = 0
             while True:
-                item = q.get()
+                while next_index not in pending:
+                    index, item = q.get()
+                    pending[index] = item
+                item = pending.pop(next_index)
+                next_index += 1
                 if isinstance(item, Exception):
                     raise item
                 yield item

@@ -19,6 +19,16 @@ implementations are unusable with their own defaults:
   reference normalizes against ``below_val`` directly
   (data_generator.py:384-389), which is NaN arithmetic for its default
   construction and returns all-NaN for every input.
+
+A replicated quirk to be aware of: every ``denormalize`` here computes its
+affine parameters FROM the (already normalized) input — exactly like the
+reference (data_generator.py:355-356, 384, 413) — so it is NOT an inverse
+of ``normalize``: a z-scored array has mean~0/std~1 and comes back nearly
+unchanged, in normalized units.  Inverting a normalization requires the
+forward pass's own statistics, which neither implementation stores; the
+training pipeline never calls ``denormalize`` (the GAN predicts physical
+target units directly), so this matters only to downstream users, who
+should keep their forward stats.
 """
 
 from __future__ import annotations

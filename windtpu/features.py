@@ -18,6 +18,7 @@ Lazy: nothing loads until requested.  Resolution order:
 from __future__ import annotations
 
 import os
+import re
 from pathlib import Path
 from typing import Callable, Optional
 
@@ -58,7 +59,7 @@ def get_encoder_fn(image_size: int = 96, time_steps: int = 24,
         import orbax.checkpoint as ocp
 
         steps = sorted(d for d in os.listdir(ckpt_dir)
-                       if d.startswith("step_"))
+                       if re.fullmatch(r"step_\d+", d))
         if steps:
             variables = ocp.StandardCheckpointer().restore(
                 str((ckpt_dir / steps[-1]).resolve()), variables)

@@ -273,7 +273,24 @@ def make_tile_parallel_predictor(
 
     Same (g_vars, field, key) -> (pred, counts) contract; the field is
     replicated (small next to generator compute), only work is sharded.
+
+    Default-``apply_fn`` predictors are memoized on (configs, plan, mesh,
+    axis) — all hashable — for the same reason as ``make_tiled_predictor``:
+    repeated ``downscale_field(mesh=...)`` calls over same-shaped domains
+    must reuse the compiled shard_map program, not re-trace it.
     """
+    if apply_fn is None:
+        return _cached_tile_parallel_predictor(mcfg, icfg, plan, mesh, axis)
+    return _build_tile_parallel_predictor(mcfg, icfg, plan, mesh, axis,
+                                          apply_fn)
+
+
+@functools.lru_cache(maxsize=16)
+def _cached_tile_parallel_predictor(mcfg, icfg, plan, mesh, axis):
+    return _build_tile_parallel_predictor(mcfg, icfg, plan, mesh, axis, None)
+
+
+def _build_tile_parallel_predictor(mcfg, icfg, plan, mesh, axis, apply_fn):
     from jax import shard_map
     from jax.sharding import NamedSharding, PartitionSpec as P
 

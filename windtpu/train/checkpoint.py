@@ -10,6 +10,7 @@ generator alone for inference-only use.
 from __future__ import annotations
 
 import os
+import re
 from typing import Optional
 
 import jax
@@ -38,7 +39,12 @@ def latest_checkpoint(directory) -> Optional[str]:
     directory = os.fspath(directory)
     if not os.path.isdir(directory):
         return None
-    steps = sorted(d for d in os.listdir(directory) if d.startswith("step_"))
+    # Full-match step_<digits> only: a save interrupted mid-write leaves an
+    # Orbax "step_NNN.orbax-checkpoint-tmp-<ts>" sibling that sorts AFTER
+    # the finished checkpoint — a prefix match would resume from the
+    # half-written directory.
+    steps = sorted(d for d in os.listdir(directory)
+                   if re.fullmatch(r"step_\d+", d))
     return os.path.join(os.path.abspath(directory), steps[-1]) if steps else None
 
 

@@ -137,10 +137,20 @@ def make_train_step(
     _d_gp = _d_train if getattr(tcfg, "remat_gp", False) else _d_raw
 
     def train_step(state: GANTrainState, low_res, high_res, rng):
-        b = low_res.shape[0]
-        t, i = mcfg.sequence_length, mcfg.image_size
-        noise_shape = (b, t, i, i, mcfg.noise_channels)
-        inst_shape = (b, t, i, i, mcfg.out_channels)
+        # Shapes come from the actual batch (static under jit), not from
+        # ModelConfig: the networks are fully convolutional, so a batch at
+        # a different patch size / sequence length than ModelConfig's
+        # nominal one must still get matching noise fields instead of an
+        # opaque concat-shape error inside the generator.
+        b, t, h, w = low_res.shape[:4]
+        if low_res.shape[-1] != mcfg.in_channels:
+            raise ValueError(
+                f"batch has {low_res.shape[-1]} input channels but the "
+                f"generator was built for ModelConfig.in_channels="
+                f"{mcfg.in_channels}; align DataConfig.input_variables "
+                f"with ModelConfig (e.g. via windtpu-train's wiring)")
+        noise_shape = (b, t, h, w, mcfg.noise_channels)
+        inst_shape = (b, t, h, w, high_res.shape[-1])
         rng = jax.random.fold_in(rng, state.step)
         if pmean_axis is not None:
             # Per-device noise streams under shard_map: distinct noise for
@@ -231,6 +241,15 @@ def make_train_step(
             g_loss_val = jax.lax.pmean(g_loss_val, pmean_axis)
             g_adv = jax.lax.pmean(g_adv, pmean_axis)
             g_reco = jax.lax.pmean(g_reco, pmean_axis)
+            # BatchNorm running stats are data-dependent, so each shard
+            # holds different values here; average them so the returned
+            # state really is replicated (out_specs=P() in shard_step.py).
+            # The EMA update is linear in the batch means, so one pmean at
+            # the end equals updating with global-batch stats every
+            # forward — the same semantics the sharded-jit path computes.
+            # Spectral-norm u vectors depend only on the (replicated)
+            # params, so they are already identical across shards.
+            g_state = (jax.lax.pmean(g_state[0], pmean_axis), g_state[1])
         g_updates, g_opt = g_tx.update(g_grads, g_opt, g_params)
         g_params = jax.tree_util.tree_map(
             lambda p, u: p + u, g_params, g_updates)
@@ -344,10 +363,9 @@ def make_eval_step(cfg: GANConfig):
     model_d = Discriminator(mcfg)
 
     def eval_step(state: GANTrainState, low_res, high_res, rng):
-        b = low_res.shape[0]
-        t, i = mcfg.sequence_length, mcfg.image_size
+        b, t, h, w = low_res.shape[:4]
         noise = tcfg.noise_std * jax.random.normal(
-            rng, (b, t, i, i, mcfg.noise_channels))
+            rng, (b, t, h, w, mcfg.noise_channels))
         g_vars = state.g_variables()
         d_vars = state.d_variables()
         true_scores = model_d.apply(d_vars, low_res, high_res, train=False)

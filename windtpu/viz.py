@@ -8,6 +8,7 @@ is importable and silently skipped otherwise (it is not in the TPU image).
 
 from __future__ import annotations
 
+import warnings
 from typing import Optional, Tuple
 
 import numpy as np
@@ -49,7 +50,12 @@ def plot_wind_fields(ds, cmap: str = "bwr", title: str = "",
         vals = np.asarray(ds[var].values)
         if vals.ndim == 3:
             vals = vals[time_index]
-        bound = np.nanmax(np.abs(vals)) or 1.0
+        # `or 1.0` guards the all-zero field; NaN is truthy, so an all-NaN
+        # slice (e.g. uncovered engine pixels) needs its own fallback.
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            bound = np.nanmax(np.abs(vals)) if np.isfinite(vals).any() else 1.0
+        bound = bound or 1.0
         text = "U-component" if var == "u10" else "V-component"
         kwargs = {}
         if HRPC:
