@@ -76,17 +76,29 @@ def enable_persistent_cache() -> str | None:
 
 
 def _host_fingerprint() -> str:
-    """Short stable hash of this host's CPU feature flags."""
+    """Short stable hash of this host's CPU identity.
+
+    Includes the model name as well as the feature flags: XLA:CPU AOT
+    entries embed model-derived tuning attributes (e.g.
+    ``prefer-no-scatter``/``prefer-no-gather``) that differ between CPU
+    models even when the ISA flag sets are identical, and a mismatch
+    makes every cache load warn about possible SIGILL.
+    """
     import hashlib
     import platform
 
     text = platform.machine()
     try:
+        flags = model = ""
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith(("flags", "Features")):
-                    text += line
+                if not flags and line.startswith(("flags", "Features")):
+                    flags = line
+                elif not model and line.startswith("model name"):
+                    model = line
+                if flags and model:
                     break
+        text += model + flags
     except OSError:
         text += platform.processor()
     return hashlib.sha256(text.encode()).hexdigest()[:12]
