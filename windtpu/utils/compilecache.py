@@ -87,18 +87,25 @@ def _host_fingerprint() -> str:
     import hashlib
     import platform
 
+    # One line per identity field, first occurrence wins.  x86 cpuinfo
+    # names the model via "model name"; arm64 has no such line and
+    # identifies the core by "CPU implementer" / "CPU part" instead.
+    # (Key order fixes the concatenation order, so x86 fingerprints are
+    # stable across this change: model name + flags, as before.)
+    id_keys = ("model name", "flags", "Features", "CPU implementer",
+               "CPU part")
     text = platform.machine()
     try:
-        flags = model = ""
+        found: dict[str, str] = {}
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if not flags and line.startswith(("flags", "Features")):
-                    flags = line
-                elif not model and line.startswith("model name"):
-                    model = line
-                if flags and model:
+                for key in id_keys:
+                    if key not in found and line.startswith(key):
+                        found[key] = line
+                        break
+                if len(found) == len(id_keys):
                     break
-        text += model + flags
+        text += "".join(found[k] for k in id_keys if k in found)
     except OSError:
         text += platform.processor()
     return hashlib.sha256(text.encode()).hexdigest()[:12]
