@@ -11,8 +11,10 @@ XLA program over the full (T, H, W, C) field held in HBM:
           normalization over the stacked patch tensor;
   pass 2  scan over patch groups: gather patches with dynamic_slice,
           normalize, run the generator with fresh per-group noise, crop the
-          2-px border, and scatter-add predictions + coverage counts into a
-          canvas; finally divide -> overlap mean.
+          2-px border, and scatter-add predictions into a canvas; finally
+          divide by the static host-precomputed coverage map -> overlap
+          mean (coverage depends only on the tiling plan, so it is never
+          accumulated on device).
 
 No pandas, no per-patch host sync; patch extraction is a strided gather and
 stitching is a dynamic-update-slice accumulation that XLA fuses.
@@ -64,6 +66,30 @@ def _pad_to_multiple(arr: np.ndarray, multiple: int):
     return arr, weights
 
 
+def _coverage_counts(
+    plan: TilingPlan,
+    origins_g: np.ndarray,
+    weights_g: np.ndarray,
+    crop: int,
+) -> np.ndarray:
+    """Static (T, H, W, 1) patch-coverage map for the overlap mean.
+
+    Coverage depends only on the tiling plan, never on the data, so it is
+    computed once on the host instead of being accumulated patch by patch
+    on device — that removes half the tiny serial dynamic-update-slice ops
+    from the stitch loop (and, tile-parallel, the counts psum)."""
+    img = plan.image_size
+    seq = plan.sequence_length
+    counts = np.zeros(
+        (plan.time_window, plan.pixels_lat, plan.pixels_lon, 1), np.float32)
+    for (sx, sy, k), w in zip(origins_g.reshape(-1, 3).tolist(),
+                              weights_g.ravel().tolist()):
+        if w:
+            counts[k * seq:(k + 1) * seq, sy + crop:sy + img - crop,
+                   sx + crop:sx + img - crop] += w
+    return counts
+
+
 def _grouped_origins(plan: TilingPlan, group: int, group_multiple: int = 1):
     """(G, group, 3) int32 origins + (G, group) validity weights, with the
     group count padded to a multiple of ``group_multiple``."""
@@ -87,13 +113,17 @@ def _build_predict(
     plan: TilingPlan,
     apply_fn=None,
     psum_axis: Optional[str] = None,
+    counts_np: Optional[np.ndarray] = None,
 ):
     """Core (g_vars, field, key, origins_g, weights_g) -> (pred, counts).
 
     ``origins_g``/``weights_g`` are traced arguments so callers can shard
     them over a mesh axis; with ``psum_axis`` set, normalization-stat
-    accumulators and the final (canvas, counts) are psum'ed across it
-    (global statistics + cross-shard overlap mean — seam-free).
+    accumulators and the final canvas are psum'ed across it (global
+    statistics + cross-shard overlap mean — seam-free).  ``counts_np``
+    is the static GLOBAL coverage map from :func:`_coverage_counts`
+    (computed from the unsharded origin list even when the traced
+    origins are a per-device shard).
     """
     img = plan.image_size
     seq = plan.sequence_length
@@ -156,10 +186,21 @@ def _build_predict(
         std = jnp.where(std == 0, 1.0, std)
 
         canvas = jnp.zeros((t_total, h, w_pix, mcfg.out_channels))
-        counts = jnp.zeros((t_total, h, w_pix, 1))
+        # Coverage is plan-determined, not data-dependent: use the static
+        # host-computed map (padded/trimmed to this field's time length —
+        # patches never extend past the plan's covered window anyway).
+        assert counts_np is not None, "builders must pass _coverage_counts"
+        counts_host = counts_np
+        if counts_host.shape[0] < t_total:
+            counts_host = np.concatenate(
+                [counts_host,
+                 np.zeros((t_total - counts_host.shape[0],)
+                          + counts_host.shape[1:], np.float32)], axis=0)
+        elif counts_host.shape[0] > t_total:
+            counts_host = counts_host[:t_total]
+        counts = jnp.asarray(counts_host)
 
-        def group_body(carry, inp):
-            canvas, counts = carry
+        def group_body(canvas, inp):
             g_idx, origins, w = inp
             patches = jax.vmap(lambda o: gather_patch(field, o))(origins)
             normalized = (patches - mean) / std
@@ -176,17 +217,13 @@ def _build_predict(
             # iteration is a pair of tiny dynamic slice/update ops, so a
             # rolled fori_loop serializes on launch overhead.
             size = (seq, img - 2 * crop, img - 2 * crop, mcfg.out_channels)
-            csize = size[:-1] + (1,)
             for i in range(group):
                 sx, sy, k = origins[i, 0], origins[i, 1], origins[i, 2]
                 at = (k * seq, sy + crop, sx + crop, 0)
                 cur = jax.lax.dynamic_slice(canvas, at, size)
                 canvas = jax.lax.dynamic_update_slice(
                     canvas, cur + preds[i], at)
-                ccur = jax.lax.dynamic_slice(counts, at, csize)
-                counts = jax.lax.dynamic_update_slice(
-                    counts, ccur + w[i], at)
-            return (canvas, counts), None
+            return canvas, None
 
         num_groups = origins_g.shape[0]
         # Global group index for the noise PRNG: under tile-parallel
@@ -201,12 +238,11 @@ def _build_predict(
                 if psum_axis is not None else 0)
         xs = (base + jnp.arange(num_groups, dtype=jnp.int32),
               origins_g, weights_g)
-        (canvas, counts), _ = jax.lax.scan(
-            group_body, (canvas, counts), xs,
+        canvas, _ = jax.lax.scan(
+            group_body, canvas, xs,
             unroll=_scan_unroll(num_groups))
         if psum_axis is not None:
             canvas = jax.lax.psum(canvas, psum_axis)
-            counts = jax.lax.psum(counts, psum_axis)
         out = jnp.where(counts > 0, canvas / jnp.maximum(counts, 1.0),
                         jnp.nan)
         return out, counts[..., 0]
@@ -246,10 +282,12 @@ def _cached_tiled_predictor(mcfg, icfg, plan):
 
 
 def _build_tiled_predictor(mcfg, icfg, plan, apply_fn):
-    predict = _build_predict(mcfg, icfg, plan, apply_fn)
-    origins_g, weights_g = _grouped_origins(plan, icfg.group_size)
-    origins_g = jnp.asarray(origins_g)
-    weights_g = jnp.asarray(weights_g)
+    origins_np, weights_np = _grouped_origins(plan, icfg.group_size)
+    counts_np = _coverage_counts(plan, origins_np, weights_np,
+                                 icfg.border_crop)
+    predict = _build_predict(mcfg, icfg, plan, apply_fn, counts_np=counts_np)
+    origins_g = jnp.asarray(origins_np)
+    weights_g = jnp.asarray(weights_np)
 
     @jax.jit
     def run(g_vars, field, key):
@@ -295,9 +333,15 @@ def _build_tile_parallel_predictor(mcfg, icfg, plan, mesh, axis, apply_fn):
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     n_dev = mesh.shape[axis]
-    predict = _build_predict(mcfg, icfg, plan, apply_fn, psum_axis=axis)
     origins_g, weights_g = _grouped_origins(
         plan, icfg.group_size, group_multiple=n_dev)
+    # The coverage map is built from the GLOBAL origin list; inside the
+    # shard_map body each device sees only its origin shard, but coverage
+    # (like the psum'ed canvas) is a whole-domain quantity.
+    counts_np = _coverage_counts(plan, origins_g, weights_g,
+                                 icfg.border_crop)
+    predict = _build_predict(mcfg, icfg, plan, apply_fn, psum_axis=axis,
+                             counts_np=counts_np)
 
     body = shard_map(
         predict, mesh=mesh,
