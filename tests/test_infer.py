@@ -117,6 +117,24 @@ class TestStitch:
         assert counts[0, 2, 2] > 0
         assert np.isnan(pred[0, 0, 0, 0])
 
+    def test_field_longer_than_plan_window(self):
+        """A field with more time steps than the plan covers: rows beyond
+        the covered window are NaN with zero counts (the static coverage
+        map is padded to the field's length)."""
+        icfg = dataclasses.replace(TINY_I,
+                                   replicate_normalization_quirk=False)
+        plan = plan_tiling(48, 48, 4, 32, 4, icfg.overlap_factor)
+        predictor = make_tiled_predictor(TINY_M, icfg, plan,
+                                         apply_fn=self._identity_apply)
+        field = np.random.RandomState(1).standard_normal(
+            (7, 48, 48, 3)).astype(np.float32)
+        pred, counts = predictor({}, jnp.asarray(field), jax.random.key(0))
+        pred, counts = np.asarray(pred), np.asarray(counts)
+        assert pred.shape == (7, 48, 48, 2)
+        assert (counts[4:] == 0).all()
+        assert np.isnan(pred[4:]).all()
+        assert np.isfinite(pred[:4][counts[:4] > 0]).all()
+
     def test_overlap_counts(self):
         icfg = dataclasses.replace(TINY_I,
                                    replicate_normalization_quirk=False)
