@@ -173,6 +173,15 @@ def main():
     ap.add_argument("--patch", type=int, default=96)
     ap.add_argument("--seq", type=int, default=6)
     ap.add_argument("--reco", type=float, default=20.0)
+    ap.add_argument("--g-lr", type=float, default=None,
+                    help="override the generator Adam learning rate "
+                         "(default: TrainConfig's 1e-4). Use a reduced "
+                         "rate to fine-tune a warm-started checkpoint "
+                         "without the fresh critic dragging it off its "
+                         "optimum at full step size")
+    ap.add_argument("--d-lr", type=float, default=None,
+                    help="override the critic Adam learning rate "
+                         "(default: TrainConfig's 4e-4)")
     ap.add_argument("--domains", type=int, default=4,
                     help="number of distinct synthetic terrains; longer "
                          "runs generalize better to held-out terrain with "
@@ -223,7 +232,11 @@ def main():
                           compute_dtype="bfloat16"),
         train=TrainConfig(batch_size=args.batch, n_critic=2,
                           reconstruction_coefficient=args.reco,
-                          compute_metrics=False),
+                          compute_metrics=False,
+                          **({"g_learning_rate": args.g_lr}
+                             if args.g_lr is not None else {}),
+                          **({"d_learning_rate": args.d_lr}
+                             if args.d_lr is not None else {})),
     )
     # Identity features: reconstruction anchors the fake to the blurred
     # input's large scales (reference enc(low)-enc(fake), gan/train.py:26).
