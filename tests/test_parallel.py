@@ -136,3 +136,31 @@ def test_shard_map_batch_stats_replicated():
         assert leaf.shape[0] == 4
         for i in range(1, 4):
             np.testing.assert_array_equal(leaf[0], leaf[i])
+
+
+def test_inference_mesh_auto_shapes():
+    """api.inference_mesh: ensemble gets the largest member-divisor that
+    fits, leftover device factor tiles patches; single device -> None."""
+    from windtpu.api import inference_mesh
+
+    devs = jax.devices()
+    assert inference_mesh(1, devices=devs[:1]) is None
+
+    m = inference_mesh(1, devices=devs)  # tile-only
+    assert dict(zip(m.axis_names, m.devices.shape)) == {"data": 8}
+
+    m = inference_mesh(4, devices=devs)  # 4 members over 8 devices
+    assert dict(zip(m.axis_names, m.devices.shape)) == {
+        "data": 2, "ensemble": 4}
+
+    m = inference_mesh(8, devices=devs)  # exact fit
+    assert dict(zip(m.axis_names, m.devices.shape)) == {"ensemble": 8}
+
+    m = inference_mesh(50, devices=devs)  # 50 = 2*5^2 -> divisor 5 fits 8
+    assert dict(zip(m.axis_names, m.devices.shape)) == {
+        "data": 1, "ensemble": 5} or dict(
+        zip(m.axis_names, m.devices.shape)) == {"ensemble": 5}
+
+    m = inference_mesh(7, devices=devs[:6])  # prime > devices -> tile only
+    assert "ensemble" not in m.axis_names
+    assert m.shape["data"] == 6

@@ -16,7 +16,8 @@ import jax
 import numpy as np
 
 from windtpu.core.config import GANConfig, InferenceConfig, ModelConfig, TrainConfig
-from windtpu.infer.engine import make_tiled_predictor
+from windtpu.core.mesh import make_mesh
+from windtpu.infer.engine import make_tile_parallel_predictor, make_tiled_predictor
 from windtpu.infer.template import (
     build_high_res_template_from_era5,
     process_era5,
@@ -76,6 +77,43 @@ def get_network(weights_path: Optional[str] = None):
     return gan
 
 
+def inference_mesh(ensemble_members: int = 1, devices=None):
+    """Auto-build the inference mesh for whatever devices exist.
+
+    The ``ensemble`` axis gets the largest divisor of the member count that
+    fits the device count (one stochastic member per device, BASELINE
+    config 4); any leftover device factor becomes a ``data`` axis that the
+    engine shards patch groups over (tile parallelism, BASELINE config 5).
+    Returns None on a single device — the plain jitted path needs no mesh.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if n <= 1:
+        return None
+    e = 1
+    if ensemble_members > 1:
+        e = max(d for d in range(1, n + 1) if ensemble_members % d == 0)
+    axes = {}
+    if n // e > 1:
+        axes["data"] = n // e
+    if e > 1:
+        axes["ensemble"] = e
+    if not axes:
+        return None
+    return make_mesh(axes, devices=devices)
+
+
+# Diagnostics of the most recent predict() device placement — written on
+# every call so tests (and curious users) can verify that ensemble members
+# / patch tiles actually landed on distinct devices.
+_LAST_RUN = {}
+
+
+def last_run_info() -> dict:
+    """Device-placement diagnostics of the most recent :func:`predict`."""
+    return dict(_LAST_RUN)
+
+
 def predict(
     inputs_era5: Dataset,
     inputs_topo: Dataset,
@@ -85,6 +123,7 @@ def predict(
     key: Optional[jax.Array] = None,
     ensemble_members: int = 1,
     noise_std: Optional[float] = None,
+    mesh="auto",
 ) -> Dataset:
     """Tile the merged (u10, v10, elevation) field into
     24 x 96 x 96 cubes, run the generator with fresh noise, stitch with
@@ -93,6 +132,12 @@ def predict(
 
     ``noise_std`` overrides the shipped model's 0.1 (api.py:28); 0.0 makes
     the downscaling deterministic, used for cross-framework parity checks.
+
+    ``mesh``: "auto" (default) builds :func:`inference_mesh` over all
+    visible devices — ensemble members shard one-per-device over an
+    ``ensemble`` axis and patch groups shard over a ``data`` axis; pass an
+    explicit :class:`jax.sharding.Mesh` with those axis names to control
+    placement, or None to force the single-device path.
     """
     network = network if network is not None else get_network()
     mcfg = network.cfg.model
@@ -116,16 +161,44 @@ def predict(
     plan = plan_tiling(h, w, t_total, icfg.image_size, icfg.sequence_length,
                        overlap_factor)
     print(f"Applying model to {plan.num_patches} patches")
-    predictor = make_tiled_predictor(mcfg, icfg, plan)
+    if isinstance(mesh, str) and mesh == "auto":
+        mesh = inference_mesh(ensemble_members)
+    tile_parallel = (mesh is not None and "data" in mesh.axis_names
+                     and mesh.shape["data"] > 1)
+    if tile_parallel:
+        predictor = make_tile_parallel_predictor(mcfg, icfg, plan, mesh,
+                                                 "data")
+    else:
+        predictor = make_tiled_predictor(mcfg, icfg, plan)
     key = key if key is not None else jax.random.key(0)
     if ensemble_members > 1:
         keys = jax.random.split(key, ensemble_members)
+        ensemble_sharded = (mesh is not None
+                            and "ensemble" in mesh.axis_names)
+        if ensemble_sharded:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            keys = jax.device_put(keys, NamedSharding(mesh, P("ensemble")))
         preds, _ = jax.vmap(predictor, in_axes=(None, None, 0))(
             network.generator_variables, field, keys)
+        _LAST_RUN.update(
+            mode="ensemble" + ("+tile" if tile_parallel else ""),
+            mesh_axes=dict(zip(mesh.axis_names, mesh.devices.shape))
+            if mesh is not None else None,
+            ensemble_sharded=ensemble_sharded,
+            n_devices=len(preds.sharding.device_set),
+        )
         pred = np.asarray(jax.device_get(preds))
         member_axis = True
     else:
         pred, _ = predictor(network.generator_variables, field, key)
+        _LAST_RUN.update(
+            mode="tile" if tile_parallel else "single",
+            mesh_axes=dict(zip(mesh.axis_names, mesh.devices.shape))
+            if mesh is not None else None,
+            ensemble_sharded=False,
+            n_devices=len(mesh.devices.ravel()) if tile_parallel else 1,
+        )
         pred = np.asarray(jax.device_get(pred))
         member_axis = False
 
@@ -169,7 +242,12 @@ def downscale(
     **predict_kwargs,
 ) -> Dataset:
     """ERA5 dataset + DEM raster + bbox -> downscaled NetCDF-ready dataset
-    (reference api.py:155-160)."""
+    (reference api.py:155-160).
+
+    Extra keyword arguments reach :func:`predict` — notably
+    ``ensemble_members`` (one stochastic member per device on a multi-chip
+    mesh) and ``mesh`` ("auto" shards members over an ``ensemble`` axis and
+    patch tiles over a ``data`` axis whenever >1 device is visible)."""
     template = build_high_res_template_from_era5(
         era5, range_lon=range_lon, range_lat=range_lat)
     inputs_era5 = process_era5(era5, template)
