@@ -63,7 +63,9 @@ def train_main(argv=None):
                         help="dir with y_{date}.nc training targets")
     parser.add_argument("--checkpoint-dir", required=True)
     parser.add_argument("--steps", type=int, default=1000)
-    parser.add_argument("--batch-size", type=int, default=16)
+    parser.add_argument("--batch-size", type=int, default=16,
+                        help="GLOBAL batch size (sharded over the data "
+                             "mesh axis across all hosts)")
     parser.add_argument("--patch-size", type=int, default=32)
     parser.add_argument("--sequence-length", type=int, default=6)
     parser.add_argument("--start-date", default=None)
@@ -72,12 +74,50 @@ def train_main(argv=None):
                         help="train on synthetic data (smoke test)")
     parser.add_argument("--checkpoint-every", type=int, default=200)
     parser.add_argument("--profile-dir", default=None)
+    # Optimization schedule (defaults = reference gan/train.py:34-59;
+    # overrides justified by tools/train_shipped_ckpt.py A/Bs).
+    parser.add_argument("--g-lr", type=float, default=None,
+                        help="generator Adam learning rate (default 1e-4); "
+                             "reduce when fine-tuning a warm-started "
+                             "checkpoint against a fresh critic")
+    parser.add_argument("--d-lr", type=float, default=None,
+                        help="critic Adam learning rate (default 4e-4)")
+    parser.add_argument("--n-critic", type=int, default=None,
+                        help="critic updates per generator update "
+                             "(default 3, reference ganbase.py:9)")
+    parser.add_argument("--reconstruction-coefficient", type=float,
+                        default=None,
+                        help="perceptual reconstruction loss weight "
+                             "(default 0 = off; uses the bundled encoder)")
+    parser.add_argument("--steps-per-call", type=int, default=None,
+                        help="optimizer steps per device call (K batches "
+                             "scanned inside one program; K=1 default "
+                             "keeps per-step logging)")
+    parser.add_argument("--steps-per-call-unroll", action="store_true",
+                        help="unroll the K-step scan: +6%% steps/s at "
+                             "~2.8x compile time — production runs only "
+                             "(see ARCHITECTURE.md compile-time matrix)")
+    # Multi-host: explicit coordinator flags for clusters without TPU-pod
+    # metadata; on Cloud TPU pods plain `windtpu-train` on every host is
+    # enough (initialize_distributed picks the env up automatically).
+    parser.add_argument("--coordinator-address", default=None,
+                        help="host:port of process 0 (multi-host DP)")
+    parser.add_argument("--num-processes", type=int, default=None)
+    parser.add_argument("--process-id", type=int, default=None)
     args = parser.parse_args(argv)
+
+    # Multi-host first, before ANY JAX call that initializes the XLA
+    # backend (enable_persistent_cache queries jax.default_backend()):
+    # every host must join the coordinator so jax.devices() is the GLOBAL
+    # device list (parallel/distributed.py; no-op single-process).
+    from windtpu.parallel.distributed import initialize_distributed
+    initialize_distributed(args.coordinator_address, args.num_processes,
+                           args.process_id)
 
     from windtpu.utils.compilecache import enable_persistent_cache
     enable_persistent_cache()
 
-    import dataclasses
+    import jax
 
     from windtpu.core.config import DataConfig, GANConfig, ModelConfig, TrainConfig
     from windtpu.core.mesh import make_mesh
@@ -87,11 +127,21 @@ def train_main(argv=None):
     dcfg = DataConfig(sequence_length=args.sequence_length,
                       patch_size=args.patch_size,
                       batch_size=args.batch_size)
+    overrides = {
+        k: v for k, v in {
+            "g_learning_rate": args.g_lr,
+            "d_learning_rate": args.d_lr,
+            "n_critic": args.n_critic,
+            "reconstruction_coefficient": args.reconstruction_coefficient,
+            "steps_per_call": args.steps_per_call,
+        }.items() if v is not None}
+    if args.steps_per_call_unroll:
+        overrides["steps_per_call_unroll"] = True
     cfg = GANConfig(
         model=ModelConfig(image_size=args.patch_size,
                           in_channels=len(dcfg.input_variables),
                           sequence_length=args.sequence_length),
-        train=TrainConfig(batch_size=args.batch_size),
+        train=TrainConfig(batch_size=args.batch_size, **overrides),
         data=dcfg,
         checkpoint_dir=args.checkpoint_dir,
     )
@@ -107,18 +157,27 @@ def train_main(argv=None):
     bg = BatchGenerator(in_prov, output_provider=out_prov,
                         start_date=args.start_date, end_date=args.end_date,
                         config=dcfg, num_workers=2)
-    # Largest device count that divides the batch (batch 2 on an 8-chip
-    # mesh would otherwise fail to shard).
-    import jax
-
-    n = jax.device_count()
-    while args.batch_size % n:
-        n -= 1
+    if jax.process_count() > 1:
+        # Multi-host: the ('data',) axis spans every chip of every host;
+        # the global batch must divide evenly (each host transfers its
+        # contiguous slice, data/batch.py as_device_iterator).
+        n = jax.device_count()
+        if args.batch_size % n:
+            raise SystemExit(
+                f"--batch-size {args.batch_size} must be divisible by the "
+                f"global device count {n} in multi-host runs")
+    else:
+        # Largest device count that divides the batch (batch 2 on an
+        # 8-chip mesh would otherwise fail to shard).
+        n = jax.device_count()
+        while args.batch_size % n:
+            n -= 1
     mesh = make_mesh({"data": n})
     state, _ = train(cfg, bg.as_device_iterator(mesh), num_steps=args.steps,
                      checkpoint_every=args.checkpoint_every,
-                     profile_dir=args.profile_dir)
+                     profile_dir=args.profile_dir, mesh=mesh)
     print(f"done at step {int(state.step)}")
+    return state
 
 
 def prepare_main(argv=None):

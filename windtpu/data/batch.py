@@ -281,10 +281,30 @@ class BatchGenerator:
         from windtpu.core.mesh import batch_sharding
 
         sharding = batch_sharding(mesh, axis) if mesh is not None else None
+        n_proc = jax.process_count()
 
         def put(item):
             if sharding is None:
                 return jax.tree_util.tree_map(jax.device_put, item)
+            if n_proc > 1:
+                # Multi-host: every process generates the identical global
+                # batch (the pipeline is seeded and deterministic) and
+                # contributes only its local slice — device_put of a
+                # non-addressable global sharding is disallowed.  The 1-D
+                # ('data',) mesh built from jax.devices() is process-major,
+                # so process p owns contiguous batch rows.
+                pid = jax.process_index()
+
+                def globalize(a):
+                    if a.shape[0] % n_proc:
+                        raise ValueError(
+                            f"global batch {a.shape[0]} not divisible by "
+                            f"{n_proc} processes")
+                    per = a.shape[0] // n_proc
+                    return jax.make_array_from_process_local_data(
+                        sharding, a[pid * per:(pid + 1) * per])
+
+                return jax.tree_util.tree_map(globalize, item)
             return jax.tree_util.tree_map(
                 lambda a: jax.device_put(a, sharding), item)
 

@@ -14,6 +14,8 @@ import os
 from typing import Optional
 
 import jax
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from windtpu.core.mesh import make_mesh
 
@@ -31,8 +33,14 @@ def initialize_distributed(
     """
     explicit = coordinator_address or os.environ.get(
         "JAX_COORDINATOR_ADDRESS")
-    in_pod = bool(os.environ.get("TPU_WORKER_HOSTNAMES")
-                  or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"))
+    # Pod auto-detection must mean MULTI-host: single-chip environments
+    # (e.g. the axon tunnel) export TPU_WORKER_HOSTNAMES=localhost, and
+    # initializing jax.distributed there is at best useless, at worst a
+    # crash when the backend is already up.
+    workers = [h for h in os.environ.get(
+        "TPU_WORKER_HOSTNAMES", "").split(",") if h.strip()]
+    in_pod = (len(workers) > 1
+              or bool(os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")))
     if not explicit and not in_pod:
         return False
     jax.distributed.initialize(
@@ -49,3 +57,36 @@ def global_data_mesh(ensemble: int = 1):
     if ensemble > 1:
         return make_mesh({"data": n // ensemble, "ensemble": ensemble})
     return make_mesh({"data": n})
+
+
+def replicate_to_mesh(mesh, tree):
+    """Replicate a pytree of host arrays over every device of ``mesh``,
+    multi-process safe.
+
+    Single-process: a plain replicated ``device_put``.  Multi-process
+    (jax.distributed initialized): ``device_put`` of a non-addressable
+    global sharding is disallowed, so each process contributes its
+    identical local copy via ``make_array_from_process_local_data`` —
+    the pattern every host on a TPU pod uses to materialize replicated
+    train state.  Callers must ensure the host values are identical on
+    all processes (same seed / same restored checkpoint).
+    """
+    rep = NamedSharding(mesh, P())
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(lambda a: jax.device_put(a, rep), tree)
+    return jax.tree_util.tree_map(
+        lambda a: jax.make_array_from_process_local_data(rep, np.asarray(a)),
+        tree)
+
+
+def key_on_mesh(mesh, seed: int):
+    """A PRNG key replicated over ``mesh``, multi-process safe.
+
+    Key-dtype arrays cannot go through ``make_array_from_process_local_data``
+    (no numpy representation), so the key is CONSTRUCTED inside a jitted
+    program with a replicated output sharding — every process runs the same
+    program and receives the same global array.
+    """
+    rep = NamedSharding(mesh, P())
+    build = jax.jit(lambda s: jax.random.key(s[0]), out_shardings=rep)
+    return build(np.asarray([seed], np.int32))

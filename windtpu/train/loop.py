@@ -29,9 +29,18 @@ def train(
     checkpoint_every: Optional[int] = None,
     log_fn: Callable[[int, dict], None] = None,
     profile_dir: Optional[str] = None,
+    mesh=None,
 ):
     """Run ``num_steps`` WGAN-GP updates over ``batches`` of
     (low_res, high_res) arrays.  Returns (state, history).
+
+    With ``mesh`` the train state is replicated over every device of the
+    (possibly multi-host) mesh before the first step and the step PRNG is
+    built on-mesh — the batches iterator is expected to yield globally
+    sharded arrays (``BatchGenerator.as_device_iterator(mesh)``).  In
+    multi-process runs every process executes the loop; checkpoint writes
+    and metrics logging happen on process 0 only (restores happen
+    everywhere so resumed state stays identical across hosts).
 
     Note on very long runs under the axon remote-TPU client: its
     host->device transfers leak host RSS (up to ~100% of bytes moved), so
@@ -39,18 +48,36 @@ def train(
     device-resident and crop on-device (tools/train_shipped_ckpt.py shows
     the pattern) or rely on ``checkpoint_every`` + resume across process
     restarts.  Native TPU runtimes don't need this."""
+    multi_host = mesh is not None and jax.process_count() > 1
+    if multi_host:
+        # FIRST, before any compilation: establish the cross-process
+        # collective context while all hosts are still aligned (they just
+        # returned from jax.distributed.initialize).  The context
+        # rendezvous has a hard 30 s KV-exchange window (Gloo on CPU) —
+        # shorter than the per-host variance of compiling even the state
+        # initializer — but once the context exists, later collectives
+        # block on it without that window.
+        from jax.experimental import multihost_utils
+
+        print(f"[windtpu p{jax.process_index()}] t={time.time():.1f} "
+              "sync: collective-context rendezvous", flush=True)
+        multihost_utils.sync_global_devices("windtpu/train/join")
+        print(f"[windtpu p{jax.process_index()}] t={time.time():.1f} "
+              "sync done", flush=True)
     if state is None:
         state = create_train_state(cfg)
+    lead = jax.process_index() == 0
     metrics_logger = None
     if cfg.checkpoint_dir:
         latest = ckpt.latest_checkpoint(cfg.checkpoint_dir)
         if latest:
             state = ckpt.restore_checkpoint(latest, state)
             print(f"resumed from {latest} (step {int(state.step)})")
-        from windtpu.utils.logging import MetricsLogger
+        if lead:
+            from windtpu.utils.logging import MetricsLogger
 
-        metrics_logger = MetricsLogger(
-            f"{cfg.checkpoint_dir}/metrics.jsonl")
+            metrics_logger = MetricsLogger(
+                f"{cfg.checkpoint_dir}/metrics.jsonl")
 
     # K steps per device call (TrainConfig.steps_per_call): K batches are
     # stacked host-side and scanned inside one program; the noise/step
@@ -76,9 +103,39 @@ def train(
         if k > 1 else make_train_step(cfg, feature_fn=feature_fn))
     single_fn = (make_train_step(cfg, feature_fn=feature_fn)
                  if (k > 1 and num_steps % k) else None)
-    rng = jax.random.key(cfg.seed + 1)
+    if mesh is not None:
+        from windtpu.parallel.distributed import key_on_mesh, replicate_to_mesh
+
+        state = replicate_to_mesh(mesh, state)
+        rng = key_on_mesh(mesh, cfg.seed + 1)
+    else:
+        rng = jax.random.key(cfg.seed + 1)
     history = []
     it = iter(batches)
+    if mesh is not None and jax.process_count() > 1 and num_steps > 0:
+        # Multi-host alignment: the step's gradient psums are the first
+        # cross-process collectives, and the collective-context rendezvous
+        # has a short timeout (Gloo on CPU: 30 s) — shorter than the
+        # per-host compile-time skew of a big program.  So compile the
+        # step(s) ahead of time on EVERY host, barrier, and only then
+        # execute: the first collective fires aligned to within data-load
+        # jitter.  The peeked batches are replayed through the iterator.
+        import itertools
+
+        from jax.experimental import multihost_utils
+
+        peek_n = k if num_steps >= k else 1
+        peeked = [next(it) for _ in range(peek_n)]
+        if peek_n > 1:
+            step_fn.lower(state, tuple(p[0] for p in peeked),
+                          tuple(p[1] for p in peeked), rng).compile()
+        if peek_n == 1 or (single_fn is not None):
+            (single_fn or step_fn).lower(
+                state, peeked[0][0], peeked[0][1], rng).compile()
+        print(f"[windtpu p{jax.process_index()}] t={time.time():.1f} "
+              "step compiled; waiting for peers", flush=True)
+        multihost_utils.sync_global_devices("windtpu/train/compiled")
+        it = itertools.chain(peeked, it)
     t_last = time.perf_counter()
     steps_since_log = 0
     local_step = 0
@@ -132,6 +189,10 @@ def train(
                 msg = " ".join(f"{key}={v:.4g}"
                                for key, v in metrics.items())
                 print(f"step {int(state.step)}: {msg}")
+        # NOTE: in multi-process runs EVERY process must call
+        # save_checkpoint — Orbax's save is a collective (it barriers
+        # across jax.distributed internally); a lead-only save deadlocks
+        # the lead against peers that have moved on.
         if (cfg.checkpoint_dir and checkpoint_every
                 and prev // checkpoint_every != local_step // checkpoint_every):
             ckpt.save_checkpoint(cfg.checkpoint_dir, state)
