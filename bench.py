@@ -200,10 +200,14 @@ def main():
     ap.add_argument("--smoke", action="store_true",
                     help="tiny shapes, fewer steps: a fast all-paths check "
                          "for the pre-commit gate, not a perf measurement")
+    ap.add_argument("--no-parallel", action="store_true",
+                    help="skip the multi-device sharding-efficiency section "
+                         "(tools/bench_parallel.py subprocess)")
     args = ap.parse_args()
 
     peak, device_kind = _peak_flops()
 
+    flagship_mfu = None
     if args.smoke:
         steps_per_sec, flops = bench_train(
             image_size=24, seq_len=2, batch=2, n_critic=1, steps=2,
@@ -212,11 +216,36 @@ def main():
         flagship_sps = None
     else:
         steps_per_sec, flops = bench_train(want_flops=True)
-        flagship_sps, _ = bench_train(image_size=96, seq_len=24, batch=2,
-                                      n_critic=3, steps=5, warmup=2)
+        flagship_sps, flagship_flops = bench_train(
+            image_size=96, seq_len=24, batch=2, n_critic=3, steps=5,
+            warmup=2, want_flops=True)
+        if flagship_flops and peak:
+            flagship_mfu = flagship_sps * flagship_flops / peak
         km2_per_sec = bench_inference()
 
     mfu = (steps_per_sec * flops / peak) if (flops and peak) else None
+
+    # Multi-device sharding efficiency (DP train + tile-parallel inference).
+    # One real chip here: runs on an 8-device virtual CPU mesh in a
+    # subprocess, reporting sharding OVERHEAD diagnostics (regression
+    # canary); on a real slice it reports true scaling.
+    parallel = None
+    if not args.smoke and not args.no_parallel:
+        import subprocess
+        import sys
+
+        proc = subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "tools", "bench_parallel.py")],
+            capture_output=True, text=True, timeout=900)
+        for line in proc.stdout.splitlines()[::-1]:
+            if line.startswith("{"):
+                parallel = json.loads(line)
+                break
+        if parallel is None:
+            print(f"# bench_parallel failed rc={proc.returncode}: "
+                  f"{proc.stderr.strip()[-300:]}")
 
     baseline = None
     if not args.smoke:  # baseline was measured at the full bench config only
@@ -238,7 +267,9 @@ def main():
         "device": device_kind,
         "flagship_steps_per_sec":
             round(flagship_sps, 4) if flagship_sps else None,
+        "flagship_mfu": round(flagship_mfu, 4) if flagship_mfu else None,
         "inference_km2_per_sec": round(km2_per_sec, 1) if km2_per_sec else None,
+        "parallel": parallel,
     }))
 
 
