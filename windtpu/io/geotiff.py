@@ -19,6 +19,9 @@ from windtpu.io.dataset import DataArray, Dataset
 _MODEL_PIXEL_SCALE = 33550
 _MODEL_TIEPOINT = 33922
 _MODEL_TRANSFORM = 34264
+# GDAL's nodata sidecar tag (ASCII) — real SRTM tiles mark voids with it
+# (value -32768 in int16 tiles); those must surface as NaN, not elevation.
+_GDAL_NODATA = 42113
 
 
 def open_rasterio(path) -> Dataset:
@@ -43,6 +46,16 @@ def open_rasterio(path) -> Dataset:
         data = np.moveaxis(data[0], -1, 0)
     nb, ny, nx = data.shape
 
+    data = data.astype(np.float32)
+    nodata = tags.get(_GDAL_NODATA)
+    if nodata is not None:
+        try:
+            nd = float(str(nodata).strip().strip("\x00"))
+        except ValueError:
+            nd = None
+        if nd is not None:
+            data = np.where(data == np.float32(nd), np.nan, data)
+
     if _MODEL_TRANSFORM in tags:
         m = np.asarray(tags[_MODEL_TRANSFORM], dtype=np.float64).reshape(4, 4)
         x0, dx = m[0, 3], m[0, 0]
@@ -61,7 +74,7 @@ def open_rasterio(path) -> Dataset:
     y = y0 + dy * (np.arange(ny) + 0.5)
 
     return Dataset(
-        {"band_data": DataArray(("band", "y", "x"), data.astype(np.float32))},
+        {"band_data": DataArray(("band", "y", "x"), data)},
         {
             "band": DataArray(("band",), np.arange(1, nb + 1)),
             "y": DataArray(("y",), y),
