@@ -173,6 +173,14 @@ def main():
     ap.add_argument("--patch", type=int, default=96)
     ap.add_argument("--seq", type=int, default=6)
     ap.add_argument("--reco", type=float, default=20.0)
+    ap.add_argument("--n-critic", type=int, default=2,
+                    help="critic updates per generator update; more gives "
+                         "the critic a better read on over-sharpened "
+                         "texture when fine-tuning")
+    ap.add_argument("--noise-std", type=float, default=None,
+                    help="instance-noise std on critic inputs (default "
+                         "TrainConfig's 0.1); lower lets the critic see "
+                         "finer texture differences")
     ap.add_argument("--g-lr", type=float, default=None,
                     help="override the generator Adam learning rate "
                          "(default: TrainConfig's 1e-4). Use a reduced "
@@ -230,13 +238,15 @@ def main():
                           sequence_length=args.seq, generator_features=128,
                           discriminator_features=16,
                           compute_dtype="bfloat16"),
-        train=TrainConfig(batch_size=args.batch, n_critic=2,
+        train=TrainConfig(batch_size=args.batch, n_critic=args.n_critic,
                           reconstruction_coefficient=args.reco,
                           compute_metrics=False,
                           **({"g_learning_rate": args.g_lr}
                              if args.g_lr is not None else {}),
                           **({"d_learning_rate": args.d_lr}
-                             if args.d_lr is not None else {})),
+                             if args.d_lr is not None else {}),
+                          **({"noise_std": args.noise_std}
+                             if args.noise_std is not None else {})),
     )
     # Identity features: reconstruction anchors the fake to the blurred
     # input's large scales (reference enc(low)-enc(fake), gan/train.py:26).
