@@ -284,6 +284,14 @@ class ConvLSTM(nn.Module):
     # across timesteps — measured 2x on the critic fwd+bwd and the GP
     # double-grad at T=6 (tools/ablate_step.py).  Semantically a no-op.
     unroll: int = 1
+    # Fused Pallas recurrence (ops/pallas_convlstm.py): whole sequence in
+    # one kernel, (h, c) carried in VMEM.  None = auto: engage on TPU
+    # devices for MXU-aligned shapes (wide-F bf16 — the generator's
+    # F=128; the critic's narrow recurrences are statically ineligible).
+    # Measured ~7% on the recurrence at flagship shape (v5e); gate math
+    # runs in f32 inside the kernel, so outputs differ from the bf16
+    # scan by a few ulps.
+    use_fused: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -319,8 +327,23 @@ class ConvLSTM(nn.Module):
             [jnp.zeros((f,), dt), fb, jnp.zeros((2 * f,), dt)])
         zx = zx + fb_vec
 
-        out = _convlstm_scan(zx, recurrent_kernel, f,
-                             r_act=r_act, unroll=max(1, self.unroll))
+        hard_sig = self.recurrent_activation == "hard_sigmoid"
+        use_fused = self.use_fused
+        if use_fused is None:
+            from windtpu.ops.pallas_convlstm import fused_convlstm_supported
+
+            d = jax.devices()[0]
+            use_fused = (
+                "tpu" in f"{d.platform} {d.device_kind}".lower()
+                and fused_convlstm_supported(zx.shape, zx.dtype))
+        if use_fused:
+            from windtpu.ops.pallas_convlstm import convlstm_seq_fused
+
+            out = convlstm_seq_fused(zx, recurrent_kernel,
+                                     hard_sig=hard_sig)
+        else:
+            out = _convlstm_scan(zx, recurrent_kernel, f,
+                                 r_act=r_act, unroll=max(1, self.unroll))
         # Named for remat policies: recomputing the serial scan in the
         # backward pass is the expensive part of jax.checkpoint; policies
         # can elect to save exactly this tensor (see train/wgan_gp.py).
