@@ -288,9 +288,14 @@ class ConvLSTM(nn.Module):
     # one kernel, (h, c) carried in VMEM.  None = auto: engage on TPU
     # devices for MXU-aligned shapes (wide-F bf16 — the generator's
     # F=128; the critic's narrow recurrences are statically ineligible).
-    # Measured ~7% on the recurrence at flagship shape (v5e); gate math
-    # runs in f32 inside the kernel, so outputs differ from the bf16
-    # scan by a few ulps.
+    # Measured END-TO-END neutral-to-+0.3% on v5e (tools/
+    # ab_pallas_convlstm.py: G fwd 14.6->13.5 ms primary, train step
+    # 435->434.5 ms; flagship 178.6->178.0 ms) — which is itself the
+    # roofline's answer: the scan's state round-trips were NOT the
+    # generator-forward gap (ARCHITECTURE.md "Roofline").  Kept on by
+    # default (equal-or-better, eligibility-gated, env kill-switch
+    # WINDTPU_FUSED_CONVLSTM=0).  Gate math runs in f32 inside the
+    # kernel, so outputs differ from the bf16 scan by a few ulps.
     use_fused: Optional[bool] = None
 
     @nn.compact
@@ -330,12 +335,22 @@ class ConvLSTM(nn.Module):
         hard_sig = self.recurrent_activation == "hard_sigmoid"
         use_fused = self.use_fused
         if use_fused is None:
+            # Env escape hatch: WINDTPU_FUSED_CONVLSTM=0 forces the XLA
+            # scan everywhere (field debugging / A-B timing); =1 opts in
+            # wherever the static eligibility holds (e.g. non-TPU
+            # interpret runs).  Unset = auto.
+            import os
+
             from windtpu.ops.pallas_convlstm import fused_convlstm_supported
 
-            d = jax.devices()[0]
-            use_fused = (
-                "tpu" in f"{d.platform} {d.device_kind}".lower()
-                and fused_convlstm_supported(zx.shape, zx.dtype))
+            env = os.environ.get("WINDTPU_FUSED_CONVLSTM")
+            if env == "0":
+                use_fused = False
+            else:
+                d = jax.devices()[0]
+                on_tpu = "tpu" in f"{d.platform} {d.device_kind}".lower()
+                use_fused = ((on_tpu or env == "1")
+                             and fused_convlstm_supported(zx.shape, zx.dtype))
         if use_fused:
             from windtpu.ops.pallas_convlstm import convlstm_seq_fused
 

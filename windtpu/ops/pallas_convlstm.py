@@ -9,6 +9,18 @@ and launches the recurrent conv as a separate kernel; the roofline
 at 32% of its HBM bound and names this serial state traffic + layout
 churn as the entire gap.
 
+Measured outcome (v5e, tools/ab_pallas_convlstm.py): END-TO-END the
+kernel is neutral-to-+0.3% — generator forward 14.6 -> 13.5 ms at the
+primary bench shape, full WGAN-GP step 435 -> 434.5 ms (flagship
+178.6 -> 178.0 ms).  That nil result is evidence, not failure: with the
+scan's per-step HBM state round-trips fully eliminated, nothing moved,
+so the generator-forward roofline gap is NOT the recurrence's serial
+state traffic (it is small-matmul/layout overhead spread across the
+whole graph).  See ARCHITECTURE.md "Roofline" for where this closes the
+MFU investigation.  The kernel stays on by default where eligible: it
+is never slower, exercises the Pallas TPU path, and future wider-F
+models inherit it for free.
+
 This kernel runs the WHOLE sequence in one ``pallas_call``:
 
 * grid = (B/bt, T) with T minor — the TPU executes the grid sequentially,
