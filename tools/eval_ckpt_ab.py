@@ -32,13 +32,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tools"))
 
-from train_shipped_ckpt import highpass_energy, make_domain, synth_day  # noqa: E402
-
-
-def log_spectral_distance(a: np.ndarray, b: np.ndarray) -> float:
-    fa = np.abs(np.fft.rfft2(a)) ** 2 + 1e-12
-    fb = np.abs(np.fft.rfft2(b)) ** 2 + 1e-12
-    return float(np.sqrt(np.mean((10.0 * np.log10(fa / fb)) ** 2)))
+from train_shipped_ckpt import (highpass_energy, log_spectral_distance,  # noqa: E402
+                                make_holdout_batches)
 
 
 def main(argv=None):
@@ -64,20 +59,9 @@ def main(argv=None):
                        sequence_length=args.seq, generator_features=128,
                        discriminator_features=16, compute_dtype="bfloat16")
 
-    rng = np.random.RandomState(args.seed)
-    domains = [make_domain(rng) for _ in range(2)]
-    batches = []
-    for b in range(args.batches):
-        dem, slope, aspect = domains[b % len(domains)]
-        low, high = synth_day(rng, dem, slope, aspect, t=args.seq)
-        ny, nx = low.shape[1:3]
-        lows, highs = [], []
-        for _ in range(args.batch):
-            y0 = rng.randint(ny - args.patch + 1)
-            x0 = rng.randint(nx - args.patch + 1)
-            lows.append(low[:, y0:y0 + args.patch, x0:x0 + args.patch])
-            highs.append(high[:, y0:y0 + args.patch, x0:x0 + args.patch])
-        batches.append((np.stack(lows), np.stack(highs)))
+    batches = make_holdout_batches(args.seed, n_batches=args.batches,
+                                   batch=args.batch, patch=args.patch,
+                                   seq=args.seq)
 
     gen = Generator(mcfg)
     fwd = jax.jit(lambda v, x, n: gen.apply(v, x, n, train=False))

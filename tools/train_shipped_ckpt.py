@@ -166,6 +166,67 @@ def highpass_energy(field, sigma=7.0):
     return float(np.mean((field - gaussian_blur(field, sigma)) ** 2))
 
 
+def log_spectral_distance(a, b):
+    """RMS log power-spectrum gap in dB (0 = identical spectra)."""
+    fa = np.abs(np.fft.rfft2(a)) ** 2 + 1e-12
+    fb = np.abs(np.fft.rfft2(b)) ** 2 + 1e-12
+    return float(np.sqrt(np.mean((10.0 * np.log10(fa / fb)) ** 2)))
+
+
+def make_holdout_batches(seed, n_batches=4, batch=8, patch=96, seq=6):
+    """Fixed (low, high) eval batches on terrain the trainer never sees.
+
+    The construction is THE protocol shared by tools/eval_ckpt_ab.py:
+    2 domains from ``RandomState(seed)``, one synthetic day per batch,
+    random crops.  Seed roles: 0 = training pool, 777 = in-training
+    checkpoint selection, 4242 = final A/B report.  Selection and final
+    report use different seeds so picking the best checkpoint never
+    overfits the terrain the A/B verdict is computed on.
+    """
+    rng = np.random.RandomState(seed)
+    domains = [make_domain(rng) for _ in range(2)]
+    batches = []
+    for b in range(n_batches):
+        dem, slope, aspect = domains[b % len(domains)]
+        low, high = synth_day(rng, dem, slope, aspect, t=seq)
+        ny, nx = low.shape[1:3]
+        lows, highs = [], []
+        for _ in range(batch):
+            y0 = rng.randint(ny - patch + 1)
+            x0 = rng.randint(nx - patch + 1)
+            lows.append(low[:, y0:y0 + patch, x0:x0 + patch])
+            highs.append(high[:, y0:y0 + patch, x0:x0 + patch])
+        batches.append((np.stack(lows), np.stack(highs)))
+    return batches
+
+
+def holdout_figures(fwd, g_vars, batches):
+    """(hp_ratio_mean, lsd_mean, ws_rmse_mean, score) on fixed batches.
+
+    ``score`` is the single selection number: wind-speed RMSE plus a
+    penalty for the fine-scale energy ratio straying from 1.0 in log
+    space (so 2x over-sharp and 2x blurry cost the same).  Lower is
+    better; the shipping gate wants hp in [0.8, 1.5] and ws-rmse < 0.4.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    hps, lsds, rmses = [], [], []
+    for i, (low, high) in enumerate(batches):
+        noise = 0.1 * jax.random.normal(
+            jax.random.key(100 + i), low.shape[:-1] + (20,))
+        fake = np.asarray(fwd(g_vars, jnp.asarray(low), noise))
+        hps.append(highpass_energy(fake[..., 0])
+                   / max(highpass_energy(high[..., 0]), 1e-9))
+        lsds.append(log_spectral_distance(fake[..., 0], high[..., 0]))
+        rmses.append(float(np.sqrt(np.mean(
+            (np.hypot(fake[..., 0], fake[..., 1])
+             - np.hypot(high[..., 0], high[..., 1])) ** 2))))
+    hp, lsd, rmse = np.mean(hps), np.mean(lsds), np.mean(rmses)
+    score = rmse + 0.25 * abs(np.log(max(hp, 1e-9)))
+    return float(hp), float(lsd), float(rmse), float(score)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=3000)
@@ -203,6 +264,15 @@ def main():
     ap.add_argument("--save-every", type=int, default=2000,
                     help="write the generator npz (and the full train "
                          "state when --ckpt-dir is set) every N steps")
+    ap.add_argument("--holdout-every", type=int, default=0,
+                    help="every N steps, score the generator on fixed "
+                         "held-out terrain (selection seed 777, disjoint "
+                         "from the final A/B seed 4242) and write "
+                         "<out>.best.npz whenever the combined score "
+                         "improves; 0 disables. Best-by-protocol beats "
+                         "last-step selection because WGAN sharpness "
+                         "oscillates across critic/generator phases")
+    ap.add_argument("--holdout-seed", type=int, default=777)
     ap.add_argument("--ckpt-dir", default=None,
                     help="directory for periodic full-train-state Orbax "
                          "checkpoints (enables --resume)")
@@ -293,6 +363,18 @@ def main():
                 save_checkpoint(args.ckpt_dir, state)
         return g_vars
 
+    holdout = None
+    if args.holdout_every:
+        gen_sel = Generator(cfg.model)
+        fwd_sel = jax.jit(
+            lambda v, x, n: gen_sel.apply(v, x, n, train=False))
+        print(f"building holdout batches (seed {args.holdout_seed})...",
+              flush=True)
+        holdout = make_holdout_batches(
+            args.holdout_seed, batch=args.batch, patch=args.patch,
+            seq=args.seq)
+        best_score = float("inf")
+
     key = jax.random.key(1)
     t0 = time.time()
     for step in range(start_step, args.steps):
@@ -307,6 +389,20 @@ def main():
                   f"g={m.get('g_loss', 0):+.3f} "
                   f"reco={m.get('g_reco_loss', 0):.3f} "
                   f"({time.time() - t0:.0f}s)", flush=True)
+        if holdout and step and step % args.holdout_every == 0:
+            hp, lsd, rmse, score = holdout_figures(
+                fwd_sel, state.g_variables(), holdout)
+            marker = ""
+            if score < best_score:
+                best_score = score
+                g_vars = jax.device_get(state.g_variables())
+                tmp = args.out + ".best.tmp"
+                save_generator_npz(tmp, g_vars)
+                os.replace(tmp, args.out + ".best.npz")
+                marker = "  -> best"
+            print(f"  holdout[{step}]: hp={hp:.3f} lsd={lsd:.2f}dB "
+                  f"ws-rmse={rmse:.3f} score={score:.3f}{marker}",
+                  flush=True)
         if args.save_every and step and step % args.save_every == 0:
             save_all(tag=f" [step {step}]")
 
