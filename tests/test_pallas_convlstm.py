@@ -128,3 +128,21 @@ def test_vmap_composes(rng):
     want = jnp.stack([one(zxs[0]), one(zxs[1])])
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_env_opt_in_runs_fused_in_layer(rng, monkeypatch):
+    # WINDTPU_FUSED_CONVLSTM=1 routes the ConvLSTM layer through the
+    # fused kernel even off-TPU (interpret mode); output must match the
+    # default scan path on the same weights/inputs.
+    from windtpu.models.layers import ConvLSTM
+
+    x = jnp.asarray(rng.randn(1, 3, 8, 8, 4).astype(np.float32))
+    layer = ConvLSTM(128, (3, 3))
+    v = layer.init(jax.random.key(0), x)
+
+    monkeypatch.setenv("WINDTPU_FUSED_CONVLSTM", "0")
+    want = layer.apply(v, x)
+    monkeypatch.setenv("WINDTPU_FUSED_CONVLSTM", "1")
+    got = layer.apply(v, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)

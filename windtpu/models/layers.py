@@ -333,12 +333,15 @@ class ConvLSTM(nn.Module):
         zx = zx + fb_vec
 
         hard_sig = self.recurrent_activation == "hard_sigmoid"
+        d = jax.devices()[0]
+        on_tpu = "tpu" in f"{d.platform} {d.device_kind}".lower()
         use_fused = self.use_fused
         if use_fused is None:
             # Env escape hatch: WINDTPU_FUSED_CONVLSTM=0 forces the XLA
             # scan everywhere (field debugging / A-B timing); =1 opts in
-            # wherever the static eligibility holds (e.g. non-TPU
-            # interpret runs).  Unset = auto.
+            # wherever the static eligibility holds (off-TPU this runs
+            # the kernel in interpret mode — correctness testing only).
+            # Unset = auto: TPU devices, eligible shapes.
             import os
 
             from windtpu.ops.pallas_convlstm import fused_convlstm_supported
@@ -347,15 +350,14 @@ class ConvLSTM(nn.Module):
             if env == "0":
                 use_fused = False
             else:
-                d = jax.devices()[0]
-                on_tpu = "tpu" in f"{d.platform} {d.device_kind}".lower()
                 use_fused = ((on_tpu or env == "1")
                              and fused_convlstm_supported(zx.shape, zx.dtype))
         if use_fused:
             from windtpu.ops.pallas_convlstm import convlstm_seq_fused
 
             out = convlstm_seq_fused(zx, recurrent_kernel,
-                                     hard_sig=hard_sig)
+                                     hard_sig=hard_sig,
+                                     interpret=not on_tpu)
         else:
             out = _convlstm_scan(zx, recurrent_kernel, f,
                                  r_act=r_act, unroll=max(1, self.unroll))
