@@ -50,6 +50,9 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
+    from windtpu.utils.compilecache import enable_persistent_cache
+    enable_persistent_cache()
+
     from windtpu.core.config import ModelConfig
     from windtpu.models.generator import Generator, init_generator
     from windtpu.train.checkpoint import load_generator_npz
@@ -69,18 +72,27 @@ def main(argv=None):
 
     for path in args.checkpoints:
         v = load_generator_npz(path, template)
-        hps, lsds, rmses = [], [], []
+        hp_f, hp_t, ratios, lsds, rmses = [], [], [], [], []
         for i, (low, high) in enumerate(batches):
             noise = 0.1 * jax.random.normal(
                 jax.random.key(100 + i), low.shape[:-1] + (20,))
             fake = np.asarray(fwd(v, jnp.asarray(low), noise))
-            hps.append(highpass_energy(fake[..., 0])
-                       / max(highpass_energy(high[..., 0]), 1e-9))
+            hp_f.append(highpass_energy(fake[..., 0]))
+            hp_t.append(highpass_energy(high[..., 0]))
+            ratios.append(hp_f[-1] / max(hp_t[-1], 1e-9))
             lsds.append(log_spectral_distance(fake[..., 0], high[..., 0]))
             rmses.append(float(np.sqrt(np.mean(
                 (np.hypot(fake[..., 0], fake[..., 1])
                  - np.hypot(high[..., 0], high[..., 1])) ** 2))))
-        print(f"{path}: hp-ratio={np.mean(hps):.3f}+-{np.std(hps):.3f} "
+        # Headline sharpness is the energy-POOLED ratio: truth fine-scale
+        # energy scales ~flow^2, so a near-calm day has a near-zero
+        # denominator and one such batch dominates a mean of per-batch
+        # ratios (observed std 2.4 on 4 batches).  The pooled ratio
+        # weighs each day by its real energy; the per-day extremes are
+        # kept as the calm-day overshoot diagnostic.
+        pooled = sum(hp_f) / max(sum(hp_t), 1e-9)
+        print(f"{path}: hp-pooled={pooled:.3f} "
+              f"hp-ratio/day=[{min(ratios):.2f}..{max(ratios):.2f}] "
               f"lsd={np.mean(lsds):.2f}dB ws-rmse={np.mean(rmses):.3f}")
 
 

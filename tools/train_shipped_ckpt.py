@@ -75,18 +75,22 @@ def make_domain(rng, ny=384, nx=384):
     return dem.astype(np.float32), slope, aspect
 
 
-def synth_day(rng, dem, slope, aspect, t=6, sigma=7.0):
+def synth_day(rng, dem, slope, aspect, t=6, sigma=7.0,
+              speed_lo=3.0, speed_hi=10.0):
     """One day of (low_res, high_res) fields over the full domain.
 
     high_res u/v = synoptic flow * terrain exposure response + slope-locked
     gusts; low_res = Gaussian-blurred high_res (self-downscaling input).
+    ``speed_lo/speed_hi`` bound the base synoptic speed draw (the truth's
+    fine-scale energy scales ~flow^2, so calm days are the hard regime —
+    see ``make_day_pool(calm_frac=...)``).
     """
     from windtpu.preprocess.daily import compute_time_varying_topo_pred
 
     ny, nx = dem.shape
     # Smooth synoptic flow: speed 2..12 m/s, direction drifting over the day.
     phase = rng.uniform(0, 2 * np.pi)
-    speed = rng.uniform(3.0, 10.0) + 2.0 * np.sin(
+    speed = rng.uniform(speed_lo, speed_hi) + 2.0 * np.sin(
         np.linspace(0, 2 * np.pi, t) + phase)
     angle = rng.uniform(0, 2 * np.pi) + 0.3 * np.sin(
         np.linspace(0, 2 * np.pi, t) + rng.uniform(0, 2 * np.pi))
@@ -111,7 +115,7 @@ def synth_day(rng, dem, slope, aspect, t=6, sigma=7.0):
     return low, high
 
 
-def make_day_pool(rng, n_domains, days_per_domain, t):
+def make_day_pool(rng, n_domains, days_per_domain, t, calm_frac=0.0):
     """Pre-generate every training day as two stacked arrays.
 
     The whole pool is pushed to the device ONCE and random crops are taken
@@ -120,12 +124,22 @@ def make_day_pool(rng, n_domains, days_per_domain, t):
     ~0.5 MB permanently leaks its full size in host RSS (axon client bug,
     measured at 100% of transfer size), which OOM-kills runs past ~13k
     steps at the flagship batch shape.
+
+    ``calm_frac``: fraction of each domain's days drawn from a calm
+    synoptic regime (base speed 0.5-4 m/s instead of 3-10).  Truth
+    fine-scale energy scales ~flow^2, so a generator trained only on
+    windy days learns a near-constant texture amplitude and overshoots
+    ~5x on calm days (measured: per-day hp ratio 5.09 on the calmest
+    seed-4242 eval batch).  Oversampling calm days teaches the texture
+    gain to follow the input flow.
     """
     lows, highs = [], []
     for _ in range(n_domains):
         dem, slope, aspect = make_domain(rng)
-        for _ in range(days_per_domain):
-            lo, hi = synth_day(rng, dem, slope, aspect, t=t)
+        n_calm = int(round(calm_frac * days_per_domain))
+        for d in range(days_per_domain):
+            kw = dict(speed_lo=0.5, speed_hi=4.0) if d < n_calm else {}
+            lo, hi = synth_day(rng, dem, slope, aspect, t=t, **kw)
             lows.append(lo)
             highs.append(hi)
     return np.stack(lows), np.stack(highs)
@@ -173,22 +187,28 @@ def log_spectral_distance(a, b):
     return float(np.sqrt(np.mean((10.0 * np.log10(fa / fb)) ** 2)))
 
 
-def make_holdout_batches(seed, n_batches=4, batch=8, patch=96, seq=6):
+def make_holdout_batches(seed, n_batches=4, batch=8, patch=96, seq=6,
+                         calm_batches=1):
     """Fixed (low, high) eval batches on terrain the trainer never sees.
 
     The construction is THE protocol shared by tools/eval_ckpt_ab.py:
     2 domains from ``RandomState(seed)``, one synthetic day per batch,
-    random crops.  Seed roles: 0 = training pool, 777 = in-training
-    checkpoint selection, 4242 = final A/B report.  Selection and final
-    report use different seeds so picking the best checkpoint never
-    overfits the terrain the A/B verdict is computed on.
+    random crops, plus ``calm_batches`` appended batches from an
+    explicitly calm day (base speed 0.5-2.5 m/s) — the regime where an
+    amplitude-blind generator overshoots hardest, so both selection and
+    the final report measure it.  Seed roles: 0 = training pool, 777 =
+    in-training checkpoint selection, 4242 = final A/B report.
+    Selection and final report use different seeds so picking the best
+    checkpoint never overfits the terrain the A/B verdict is computed
+    on.
     """
     rng = np.random.RandomState(seed)
     domains = [make_domain(rng) for _ in range(2)]
     batches = []
-    for b in range(n_batches):
+    for b in range(n_batches + calm_batches):
         dem, slope, aspect = domains[b % len(domains)]
-        low, high = synth_day(rng, dem, slope, aspect, t=seq)
+        kw = dict(speed_lo=0.5, speed_hi=2.5) if b >= n_batches else {}
+        low, high = synth_day(rng, dem, slope, aspect, t=seq, **kw)
         ny, nx = low.shape[1:3]
         lows, highs = [], []
         for _ in range(batch):
@@ -201,30 +221,39 @@ def make_holdout_batches(seed, n_batches=4, batch=8, patch=96, seq=6):
 
 
 def holdout_figures(fwd, g_vars, batches):
-    """(hp_ratio_mean, lsd_mean, ws_rmse_mean, score) on fixed batches.
+    """(hp_pooled, worst_day_ratio, lsd_mean, ws_rmse_mean, score).
 
-    ``score`` is the single selection number: wind-speed RMSE plus a
-    penalty for the fine-scale energy ratio straying from 1.0 in log
-    space (so 2x over-sharp and 2x blurry cost the same).  Lower is
-    better; the shipping gate wants hp in [0.8, 1.5] and ws-rmse < 0.4.
+    ``hp_pooled`` is sum(hp_fake)/sum(hp_truth) over all batches — the
+    stable sharpness statistic (truth fine-scale energy scales ~flow^2,
+    so a per-batch ratio has a near-zero denominator on calm days and a
+    mean of ratios is outlier-dominated).  ``worst_day_ratio`` is the
+    per-batch ratio farthest from 1.0 in log space: the calm-day
+    overshoot diagnostic.  ``score`` (lower = better) combines ws-RMSE
+    with log-space penalties on both, so selection rewards checkpoints
+    whose texture amplitude tracks the flow instead of averaging out.
+    Shipping gate: hp_pooled in [0.8, 1.5], ws-rmse < 0.4.
     """
     import jax
     import jax.numpy as jnp
 
-    hps, lsds, rmses = [], [], []
+    hp_f, hp_t, ratios, lsds, rmses = [], [], [], [], []
     for i, (low, high) in enumerate(batches):
         noise = 0.1 * jax.random.normal(
             jax.random.key(100 + i), low.shape[:-1] + (20,))
         fake = np.asarray(fwd(g_vars, jnp.asarray(low), noise))
-        hps.append(highpass_energy(fake[..., 0])
-                   / max(highpass_energy(high[..., 0]), 1e-9))
+        hp_f.append(highpass_energy(fake[..., 0]))
+        hp_t.append(highpass_energy(high[..., 0]))
+        ratios.append(hp_f[-1] / max(hp_t[-1], 1e-9))
         lsds.append(log_spectral_distance(fake[..., 0], high[..., 0]))
         rmses.append(float(np.sqrt(np.mean(
             (np.hypot(fake[..., 0], fake[..., 1])
              - np.hypot(high[..., 0], high[..., 1])) ** 2))))
-    hp, lsd, rmse = np.mean(hps), np.mean(lsds), np.mean(rmses)
-    score = rmse + 0.25 * abs(np.log(max(hp, 1e-9)))
-    return float(hp), float(lsd), float(rmse), float(score)
+    pooled = sum(hp_f) / max(sum(hp_t), 1e-9)
+    worst = max(ratios, key=lambda r: abs(np.log(max(r, 1e-9))))
+    lsd, rmse = np.mean(lsds), np.mean(rmses)
+    score = (rmse + 0.25 * abs(np.log(max(pooled, 1e-9)))
+             + 0.10 * abs(np.log(max(worst, 1e-9))))
+    return float(pooled), float(worst), float(lsd), float(rmse), float(score)
 
 
 def main():
@@ -258,6 +287,11 @@ def main():
     ap.add_argument("--days", type=int, default=6,
                     help="synthetic days per terrain in the device-resident "
                          "pool (~18 MB HBM each at T=6)")
+    ap.add_argument("--calm-frac", type=float, default=0.0,
+                    help="fraction of each terrain's days drawn from a "
+                         "calm synoptic regime (0.5-4 m/s base speed); "
+                         "teaches the texture amplitude to track the flow "
+                         "(see make_day_pool)")
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "windtpu", "assets", "weights", "generator-synth.npz"))
@@ -344,7 +378,7 @@ def main():
     print(f"synthesizing {args.domains} terrains x {args.days} days...",
           flush=True)
     pool_low, pool_high = make_day_pool(rng, args.domains, args.days,
-                                        args.seq)
+                                        args.seq, calm_frac=args.calm_frac)
     pool_low = jax.device_put(pool_low)    # once: the only big transfers
     pool_high = jax.device_put(pool_high)
     sample = make_sampler(args.batch, args.patch)
@@ -390,7 +424,7 @@ def main():
                   f"reco={m.get('g_reco_loss', 0):.3f} "
                   f"({time.time() - t0:.0f}s)", flush=True)
         if holdout and step and step % args.holdout_every == 0:
-            hp, lsd, rmse, score = holdout_figures(
+            hp, worst, lsd, rmse, score = holdout_figures(
                 fwd_sel, state.g_variables(), holdout)
             marker = ""
             if score < best_score:
@@ -400,9 +434,9 @@ def main():
                 save_generator_npz(tmp, g_vars)
                 os.replace(tmp, args.out + ".best.npz")
                 marker = "  -> best"
-            print(f"  holdout[{step}]: hp={hp:.3f} lsd={lsd:.2f}dB "
-                  f"ws-rmse={rmse:.3f} score={score:.3f}{marker}",
-                  flush=True)
+            print(f"  holdout[{step}]: hp={hp:.3f} worst-day={worst:.2f} "
+                  f"lsd={lsd:.2f}dB ws-rmse={rmse:.3f} "
+                  f"score={score:.3f}{marker}", flush=True)
         if args.save_every and step and step % args.save_every == 0:
             save_all(tag=f" [step {step}]")
 
