@@ -64,14 +64,23 @@ def gaussian_blur(field, sigma):
 
 
 def make_domain(rng, ny=384, nx=384):
-    """(dem_norm, slope, aspect) for one synthetic terrain."""
+    """(dem_norm, slope, aspect) for one synthetic terrain.
+
+    Pinned to the host CPU backend: pool synthesis runs dozens of tiny
+    stencil convs, and routing those over the axon TPU link has wedged
+    the trainer before the first step (watchdog attempt 1 of the
+    calm-frac run stalled 935 s inside this loop).  The pool is built
+    once on the host; only training itself should touch the device.
+    """
+    import jax
     import jax.numpy as jnp
 
     from windtpu.ops.stencil import gradient_descriptors
 
     dem = 1400.0 + 900.0 * fractal_field(ny, nx, rng)
-    _, _, slope, aspect = (np.asarray(a) for a in gradient_descriptors(
-        jnp.asarray(dem), 2, (1000.0, 1000.0)))
+    with jax.default_device(jax.devices("cpu")[0]):
+        _, _, slope, aspect = (np.asarray(a) for a in gradient_descriptors(
+            jnp.asarray(dem), 2, (1000.0, 1000.0)))
     return dem.astype(np.float32), slope, aspect
 
 
