@@ -32,6 +32,7 @@ report (high-pass energy ratio fake/bilinear/truth).
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import sys
 import time
@@ -416,7 +417,16 @@ def main():
         holdout = make_holdout_batches(
             args.holdout_seed, batch=args.batch, patch=args.patch,
             seq=args.seq)
+        # Survive watchdog restarts: without the sidecar, best_score
+        # resets to inf on relaunch and the first post-restart eval
+        # overwrites .best.npz even when it is worse than the stored one.
         best_score = float("inf")
+        best_json = args.out + ".best.json"
+        if os.path.exists(best_json):
+            with open(best_json) as f:
+                best_score = float(json.load(f)["score"])
+            print(f"resuming best-checkpoint score {best_score:.3f} "
+                  f"from {best_json}", flush=True)
 
     key = jax.random.key(1)
     t0 = time.time()
@@ -442,6 +452,11 @@ def main():
                 tmp = args.out + ".best.tmp"
                 save_generator_npz(tmp, g_vars)
                 os.replace(tmp, args.out + ".best.npz")
+                with open(best_json + ".tmp", "w") as f:
+                    json.dump({"score": score, "step": int(step),
+                               "hp_pooled": hp, "worst_day": worst,
+                               "lsd_db": lsd, "ws_rmse": rmse}, f)
+                os.replace(best_json + ".tmp", best_json)
                 marker = "  -> best"
             print(f"  holdout[{step}]: hp={hp:.3f} worst-day={worst:.2f} "
                   f"lsd={lsd:.2f}dB ws-rmse={rmse:.3f} "
