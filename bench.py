@@ -234,18 +234,28 @@ def main():
         import subprocess
         import sys
 
-        proc = subprocess.run(
-            [sys.executable,
-             os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                          "tools", "bench_parallel.py")],
-            capture_output=True, text=True, timeout=900)
-        for line in proc.stdout.splitlines()[::-1]:
-            if line.startswith("{"):
-                parallel = json.loads(line)
-                break
-        if parallel is None:
-            print(f"# bench_parallel failed rc={proc.returncode}: "
-                  f"{proc.stderr.strip()[-300:]}")
+        # --force-cpu is mandatory here: this process holds the
+        # single-client TPU, so a child that probes jax.devices() would
+        # block forever (and the 900 s TimeoutExpired would abort the
+        # whole bench after every number was already measured).  The
+        # parallel section is auxiliary — any failure degrades to
+        # parallel=null rather than killing the primary results.
+        try:
+            proc = subprocess.run(
+                [sys.executable,
+                 os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "tools", "bench_parallel.py"), "--force-cpu"],
+                capture_output=True, text=True, timeout=900)
+        except subprocess.TimeoutExpired as e:
+            print(f"# bench_parallel timed out after {e.timeout}s")
+        else:
+            for line in proc.stdout.splitlines()[::-1]:
+                if line.startswith("{"):
+                    parallel = json.loads(line)
+                    break
+            if parallel is None:
+                print(f"# bench_parallel failed rc={proc.returncode}: "
+                      f"{proc.stderr.strip()[-300:]}")
 
     baseline = None
     if not args.smoke:  # baseline was measured at the full bench config only

@@ -23,6 +23,8 @@ import sys
 import numpy as np
 import pytest
 
+from windtpu.utils.hostcpu import free_tcp_port
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 WORKER = r"""
@@ -91,7 +93,7 @@ jax.distributed.shutdown()
 def test_two_process_dp_matches_single_process(tmp_path):
     worker = tmp_path / "worker.py"
     worker.write_text(WORKER)
-    port = 39217
+    port = free_tcp_port()
     env = dict(os.environ)
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
     env["JAX_PLATFORMS"] = "cpu"
@@ -187,7 +189,7 @@ jax.distributed.shutdown()
 def test_train_cli_two_process_matches_single(tmp_path):
     worker = tmp_path / "cli_worker.py"
     worker.write_text(CLI_WORKER)
-    port = 39221
+    port = free_tcp_port()
     env = dict(os.environ)
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
     env["JAX_PLATFORMS"] = "cpu"

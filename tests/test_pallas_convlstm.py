@@ -92,6 +92,12 @@ def test_supported_gating():
     assert not fused_convlstm_supported((8, 6, 24, 24, 512), jnp.float32)
     # Too big for VMEM even at bt=1.
     assert not fused_convlstm_supported((1, 6, 512, 512, 512), jnp.bfloat16)
+    # The kernel hard-codes 3x3 recurrent taps: any other kernel shape
+    # must fall back to the scan (Pallas would silently mis-window it).
+    assert fused_convlstm_supported((8, 6, 24, 24, 512), jnp.bfloat16,
+                                    (3, 3, 128, 512))
+    assert not fused_convlstm_supported((8, 6, 24, 24, 512), jnp.bfloat16,
+                                        (5, 5, 128, 512))
 
 
 def test_pick_batch_tile_divisor():

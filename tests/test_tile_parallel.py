@@ -109,3 +109,54 @@ def test_tile_parallel_predictor_memoized():
     p3 = make_tile_parallel_predictor(TINY_M, TINY_I, plan, mesh,
                                       apply_fn=_identity)
     assert p3 is not p1
+
+
+def test_ensemble_tile_combined_matches_per_member():
+    """The combined ensemble+tile shard_map must equal a per-member
+    single-device run (noise passthrough makes per-member PRNG visible)
+    AND actually shard the member axis over the ensemble mesh axis —
+    vmap over the tile-parallel predictor replicates every member on
+    every ensemble group (same output, ~3x the compute)."""
+    from windtpu.infer.engine import make_ensemble_tile_parallel_predictor
+
+    mesh = make_mesh({"data": 2, "ensemble": 4})
+    rng = np.random.RandomState(11)
+    field = jnp.asarray(rng.standard_normal((4, 64, 72, 3)).astype(np.float32))
+    plan = plan_tiling(64, 72, 4, 32, 4, TINY_I.overlap_factor)
+    keys = jax.random.split(jax.random.key(9), 4)
+
+    comb = make_ensemble_tile_parallel_predictor(
+        TINY_M, TINY_I, plan, mesh, apply_fn=_noise_passthrough)
+    preds, counts = comb({}, field, keys)
+    assert preds.shape == (4,) + field.shape[:3] + (2,)
+    # Member axis genuinely sharded: P('ensemble') over axis 0, spread
+    # across all 8 devices (replicated over the data axis).
+    assert preds.sharding.spec[0] == "ensemble"
+    assert len(preds.sharding.device_set) == 8
+
+    single = make_tiled_predictor(TINY_M, TINY_I, plan,
+                                  apply_fn=_noise_passthrough)
+    ref = np.stack([np.asarray(single({}, field, k)[0]) for k in keys])
+    got = np.asarray(preds)
+    np.testing.assert_array_equal(np.isnan(got), np.isnan(ref))
+    m = ~np.isnan(ref)
+    np.testing.assert_allclose(got[m], ref[m], atol=1e-5)
+    # Distinct members drew distinct noise.
+    assert np.nanstd(got[0] - got[1]) > 0
+
+
+def test_downscale_field_routes_combined_mesh():
+    """downscale_field with a (data, ensemble) mesh + ensemble_keys must
+    use the combined predictor (member axis sharded over 'ensemble')."""
+    from windtpu.infer.engine import downscale_field
+    from windtpu.models.generator import init_generator
+
+    mesh = make_mesh({"data": 2, "ensemble": 2})
+    rng = np.random.RandomState(13)
+    field = jnp.asarray(rng.standard_normal((4, 64, 72, 3)).astype(np.float32))
+    keys = jax.random.split(jax.random.key(3), 2)
+    g_vars = init_generator(TINY_M, jax.random.key(0))
+    preds, _ = downscale_field(g_vars, field, TINY_M, TINY_I,
+                               ensemble_keys=keys, mesh=mesh)
+    assert preds.shape[0] == 2
+    assert preds.sharding.spec[0] == "ensemble"

@@ -162,24 +162,30 @@ def main():
     ap.add_argument("--devices", type=int, default=8,
                     help="virtual CPU device count when fewer real devices "
                          "exist (re-exec)")
+    ap.add_argument("--force-cpu", action="store_true",
+                    help="re-exec onto the virtual CPU mesh WITHOUT probing "
+                         "jax.devices() first.  Required when the caller "
+                         "holds the (single-client) TPU: a probe from this "
+                         "process would block forever as a second TPU "
+                         "client.  bench.py always passes this.")
     ap.add_argument("--inner", action="store_true", help=argparse.SUPPRESS)
     args = ap.parse_args()
 
     if not args.inner:
-        import jax
+        need_reexec = True
+        if not args.force_cpu:
+            # Safe to probe only when no other process holds the TPU
+            # (standalone human invocation).
+            import jax
 
-        if len(jax.devices()) < args.devices:
-            env = dict(os.environ)
-            flags = env.get("XLA_FLAGS", "")
-            if "host_platform_device_count" not in flags:
-                flags = (flags + f" --xla_force_host_platform_device_count="
-                                 f"{args.devices}").strip()
-            env["XLA_FLAGS"] = flags
-            env["JAX_PLATFORMS"] = "cpu"
-            repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-            env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+            need_reexec = len(jax.devices()) < args.devices
+        if need_reexec:
             import subprocess
 
+            from windtpu.utils.hostcpu import virtual_cpu_env
+
+            repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+            env = virtual_cpu_env(args.devices, repo)
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--inner",
                  "--devices", str(args.devices)],

@@ -417,12 +417,34 @@ def main():
         holdout = make_holdout_batches(
             args.holdout_seed, batch=args.batch, patch=args.patch,
             seq=args.seq)
-        # Survive watchdog restarts: without the sidecar, best_score
+        # Survive watchdog restarts: without a stored score, best_score
         # resets to inf on relaunch and the first post-restart eval
         # overwrites .best.npz even when it is worse than the stored one.
+        # The authoritative score comes from RE-SCORING the stored npz on
+        # the (deterministic: fixed batches, fixed noise keys) holdout —
+        # the npz and its .best.json sidecar are written in two separate
+        # os.replace steps, so a kill between them can leave the pair
+        # inconsistent; the file itself cannot lie.  The sidecar remains
+        # the human-readable record and the fallback if loading fails.
         best_score = float("inf")
+        best_npz = args.out + ".best.npz"
         best_json = args.out + ".best.json"
-        if os.path.exists(best_json):
+        if os.path.exists(best_npz):
+            try:
+                from windtpu.train.checkpoint import load_generator_npz
+
+                stored = load_generator_npz(
+                    best_npz, jax.device_get(state.g_variables()))
+                *_, best_score = holdout_figures(fwd_sel, stored, holdout)
+                print(f"re-scored stored best checkpoint {best_npz}: "
+                      f"{best_score:.3f}", flush=True)
+            except Exception as e:  # shape mismatch after a config edit
+                if os.path.exists(best_json):
+                    with open(best_json) as f:
+                        best_score = float(json.load(f)["score"])
+                print(f"could not re-score {best_npz} ({e!r}); using "
+                      f"sidecar score {best_score:.3f}", flush=True)
+        elif os.path.exists(best_json):
             with open(best_json) as f:
                 best_score = float(json.load(f)["score"])
             print(f"resuming best-checkpoint score {best_score:.3f} "

@@ -361,6 +361,84 @@ def _build_tile_parallel_predictor(mcfg, icfg, plan, mesh, axis, apply_fn):
     return run
 
 
+def make_ensemble_tile_parallel_predictor(
+    mcfg: ModelConfig,
+    icfg: InferenceConfig,
+    plan: TilingPlan,
+    mesh,
+    tile_axis: str = "data",
+    ensemble_axis: str = "ensemble",
+    apply_fn=None,
+):
+    """Combined ensemble + spatial-tile parallelism in ONE shard_map.
+
+    Member keys shard over ``ensemble_axis`` (each device group computes
+    only its own members) while patch groups shard over ``tile_axis``
+    (each member's tiles split across its group, psum-stitched).  This is
+    NOT ``vmap(tile_parallel_predictor)`` over sharded keys: there the
+    shard_map treats the key as replicated, so every ensemble group
+    redundantly computes ALL members over its tile shard — measured ~3x
+    slower than tile-only parallelism for identical output on an 8-device
+    mesh.  Here total generator work is exactly ``members x patches``,
+    split over the full mesh.
+
+    Contract: ``run(g_vars, field, keys)`` with ``keys`` of shape (M,),
+    M divisible by ``mesh.shape[ensemble_axis]``; returns
+    ``(preds, counts)`` with ``preds`` (M, T, H, W, out_channels) sharded
+    ``P(ensemble_axis)`` over the member axis.
+    """
+    if apply_fn is None:
+        return _cached_ens_tile_predictor(mcfg, icfg, plan, mesh,
+                                          tile_axis, ensemble_axis)
+    return _build_ens_tile_predictor(mcfg, icfg, plan, mesh, tile_axis,
+                                     ensemble_axis, apply_fn)
+
+
+@functools.lru_cache(maxsize=16)
+def _cached_ens_tile_predictor(mcfg, icfg, plan, mesh, tile_axis,
+                               ensemble_axis):
+    return _build_ens_tile_predictor(mcfg, icfg, plan, mesh, tile_axis,
+                                     ensemble_axis, None)
+
+
+def _build_ens_tile_predictor(mcfg, icfg, plan, mesh, tile_axis,
+                              ensemble_axis, apply_fn):
+    from jax import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n_tile = mesh.shape[tile_axis]
+    origins_g, weights_g = _grouped_origins(
+        plan, icfg.group_size, group_multiple=n_tile)
+    counts_np = _coverage_counts(plan, origins_g, weights_g,
+                                 icfg.border_crop)
+    predict = _build_predict(mcfg, icfg, plan, apply_fn,
+                             psum_axis=tile_axis, counts_np=counts_np)
+
+    def member_body(g_vars, field, keys, origins, weights):
+        # keys: this ensemble group's (M_local,) shard; each member runs
+        # the tile-sharded predict (psum over tile_axis inside).
+        preds, counts = jax.vmap(
+            predict, in_axes=(None, None, 0, None, None))(
+                g_vars, field, keys, origins, weights)
+        # Coverage is plan-determined and member-independent.
+        return preds, counts[0]
+
+    body = shard_map(
+        member_body, mesh=mesh,
+        in_specs=(P(), P(), P(ensemble_axis), P(tile_axis), P(tile_axis)),
+        out_specs=(P(ensemble_axis), P()),
+        check_vma=False,
+    )
+    origins_sh = jax.device_put(origins_g, NamedSharding(mesh, P(tile_axis)))
+    weights_sh = jax.device_put(weights_g, NamedSharding(mesh, P(tile_axis)))
+
+    @jax.jit
+    def run(g_vars, field, keys):
+        return body(g_vars, field, keys, origins_sh, weights_sh)
+
+    return run
+
+
 def downscale_field(
     g_vars,
     field: jax.Array,                # (T, H, W, in_channels)
@@ -386,6 +464,15 @@ def downscale_field(
     if plan is None:
         plan = plan_tiling(h, w, t, icfg.image_size, icfg.sequence_length,
                            icfg.overlap_factor)
+    ens_axis = "ensemble"
+    if (mesh is not None and ensemble_keys is not None
+            and ens_axis in mesh.axis_names
+            and tile_axis in mesh.axis_names
+            and ensemble_keys.shape[0] % mesh.shape[ens_axis] == 0):
+        predictor = make_ensemble_tile_parallel_predictor(
+            mcfg, icfg, plan, mesh, tile_axis, ens_axis)
+        preds, _ = predictor(g_vars, field, ensemble_keys)
+        return preds, plan
     if mesh is not None:
         predictor = make_tile_parallel_predictor(
             mcfg, icfg, plan, mesh, tile_axis)

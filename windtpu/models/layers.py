@@ -351,7 +351,9 @@ class ConvLSTM(nn.Module):
                 use_fused = False
             else:
                 use_fused = ((on_tpu or env == "1")
-                             and fused_convlstm_supported(zx.shape, zx.dtype))
+                             and fused_convlstm_supported(
+                                 zx.shape, zx.dtype,
+                                 recurrent_kernel.shape))
         if use_fused:
             from windtpu.ops.pallas_convlstm import convlstm_seq_fused
 

@@ -94,13 +94,22 @@ def pick_batch_tile(b: int, h: int, w: int, f: int, itemsize: int,
     return None
 
 
-def fused_convlstm_supported(zx_shape: Tuple[int, ...], dtype) -> bool:
+def fused_convlstm_supported(zx_shape: Tuple[int, ...], dtype,
+                             kernel_shape: Optional[Tuple[int, ...]] = None,
+                             ) -> bool:
     """Static eligibility: NHWC (B,T,H,W,4F) with MXU-aligned F.
 
     F must fill the 128-lane MXU (the whole point of the kernel); the
     batch tile must fit VMEM.  The critic's F=2/16 branches fail the
-    first test by design.
+    first test by design.  ``kernel_shape`` is the recurrent kernel's
+    shape: the kernel body hard-codes 3x3 taps (and a (3,3,F,4F)
+    BlockSpec), so any other spatial extent must take the XLA scan —
+    Pallas would silently slice a 3x3 window out of a larger kernel
+    rather than erroring.  ``None`` (shape unknown) is accepted for
+    shape-only probes; the layer always passes the real shape.
     """
+    if kernel_shape is not None and tuple(kernel_shape[:2]) != (3, 3):
+        return False
     if len(zx_shape) != 5:
         return False
     b, t, h, w, f4 = zx_shape
