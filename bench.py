@@ -251,7 +251,10 @@ def main():
         else:
             for line in proc.stdout.splitlines()[::-1]:
                 if line.startswith("{"):
-                    parallel = json.loads(line)
+                    try:
+                        parallel = json.loads(line)
+                    except ValueError:
+                        continue  # '{'-prefixed diagnostic, keep scanning
                     break
             if parallel is None:
                 print(f"# bench_parallel failed rc={proc.returncode}: "

@@ -156,10 +156,12 @@ def test_inference_mesh_auto_shapes():
     m = inference_mesh(8, devices=devs)  # exact fit
     assert dict(zip(m.axis_names, m.devices.shape)) == {"ensemble": 8}
 
-    m = inference_mesh(50, devices=devs)  # 50 = 2*5^2 -> divisor 5 fits 8
+    # 50 = 2*5^2: the largest divisor that also divides the device count
+    # is 2 — prefer data=4 x ensemble=2 (all 8 devices busy) over the
+    # stranding ensemble=5 factorization that would idle 3 devices.
+    m = inference_mesh(50, devices=devs)
     assert dict(zip(m.axis_names, m.devices.shape)) == {
-        "data": 1, "ensemble": 5} or dict(
-        zip(m.axis_names, m.devices.shape)) == {"ensemble": 5}
+        "data": 4, "ensemble": 2}
 
     m = inference_mesh(7, devices=devs[:6])  # prime > devices -> tile only
     assert "ensemble" not in m.axis_names

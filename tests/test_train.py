@@ -377,3 +377,52 @@ def test_train_step_channel_mismatch_fails_fast():
                     m.out_channels))
     with pytest.raises(ValueError, match="in_channels"):
         step(state, lr, hr, jax.random.key(0))
+
+
+def test_sharpness_loss_zero_when_matched():
+    from windtpu.train.losses import highpass_energy_ratio_loss
+
+    x = jax.random.normal(jax.random.key(0), (2, 2, 24, 24, 2))
+    assert float(highpass_energy_ratio_loss(x, x)) < 1e-10
+
+
+def test_sharpness_loss_penalizes_blurry_and_oversharp():
+    """A blurred fake (missing fine-scale energy) and an over-sharpened
+    fake (excess energy) must both score positive, and the gradient wrt
+    the fake must push energy in the correcting direction."""
+    from windtpu.train.losses import highpass_energy_ratio_loss
+
+    truth = jax.random.normal(jax.random.key(1), (2, 2, 24, 24, 2))
+    k = jnp.ones((1, 1, 5, 5, 1)) / 25.0
+    blurry = jax.lax.conv_general_dilated(
+        truth.reshape(4, 24, 24, 2).transpose(0, 3, 1, 2),
+        jnp.ones((2, 1, 5, 5)) / 25.0, (1, 1), "SAME",
+        feature_group_count=2).transpose(0, 2, 3, 1).reshape(truth.shape)
+    del k
+    loss_blur = float(highpass_energy_ratio_loss(blurry, truth, sigma=3.0))
+    loss_sharp = float(highpass_energy_ratio_loss(truth * 3.0, truth,
+                                                  sigma=3.0))
+    assert loss_blur > 0.1 and loss_sharp > 0.1
+    # Gradient direction: moving the blurry fake toward the truth must
+    # decrease the loss.
+    g = jax.grad(lambda f: highpass_energy_ratio_loss(f, truth,
+                                                      sigma=3.0))(blurry)
+    stepped = blurry - 0.1 * g
+    assert (float(highpass_energy_ratio_loss(stepped, truth, sigma=3.0))
+            < loss_blur)
+
+
+def test_train_step_with_sharpness_coefficient():
+    tcfg = TrainConfig(batch_size=2, n_critic=1, sharpness_coefficient=5.0,
+                       compute_metrics=False)
+    cfg = GANConfig(model=TINY.model, train=tcfg)
+    state = create_train_state(cfg)
+    step = make_train_step(cfg)
+    lr, hr = _batch(cfg)
+    state, metrics = step(state, lr, hr, jax.random.key(0))
+    assert float(metrics["g_sharp_loss"]) > 0
+    assert np.isfinite(float(metrics["g_loss"]))
+    # Default config keeps the term off (reference parity).
+    state0 = create_train_state(TINY)
+    _, m0 = make_train_step(TINY)(state0, *_batch(TINY), jax.random.key(0))
+    assert float(m0["g_sharp_loss"]) == 0.0

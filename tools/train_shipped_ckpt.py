@@ -297,6 +297,11 @@ def main():
     ap.add_argument("--days", type=int, default=6,
                     help="synthetic days per terrain in the device-resident "
                          "pool (~18 MB HBM each at T=6)")
+    ap.add_argument("--sharp", type=float, default=0.0,
+                    help="per-sample high-pass energy-ratio penalty "
+                         "coefficient (TrainConfig.sharpness_coefficient); "
+                         "ties each day's texture amplitude to its truth — "
+                         "the direct lever on the worst-day hp-ratio tail")
     ap.add_argument("--calm-frac", type=float, default=0.0,
                     help="fraction of each terrain's days drawn from a "
                          "calm synoptic regime (0.5-4 m/s base speed); "
@@ -354,6 +359,7 @@ def main():
                           compute_dtype="bfloat16"),
         train=TrainConfig(batch_size=args.batch, n_critic=args.n_critic,
                           reconstruction_coefficient=args.reco,
+                          sharpness_coefficient=args.sharp,
                           compute_metrics=False,
                           **({"g_learning_rate": args.g_lr}
                              if args.g_lr is not None else {}),

@@ -94,7 +94,13 @@ def inference_mesh(ensemble_members: int = 1, devices=None):
         return None
     e = 1
     if ensemble_members > 1:
-        e = max(d for d in range(1, n + 1) if ensemble_members % d == 0)
+        divisors = [d for d in range(1, n + 1) if ensemble_members % d == 0]
+        # Prefer factorizations that use every device (data x ensemble = n);
+        # among those take the largest ensemble axis (one member per device,
+        # BASELINE config 4).  d=1 always qualifies, so no device is ever
+        # silently stranded — e.g. 8 devices x 3 members used to build
+        # 2x3=6 and idle two devices; now it builds data=8.
+        e = max(d for d in divisors if n % d == 0)
     axes = {}
     if n // e > 1:
         axes["data"] = n // e
@@ -102,7 +108,11 @@ def inference_mesh(ensemble_members: int = 1, devices=None):
         axes["ensemble"] = e
     if not axes:
         return None
-    return make_mesh(axes, devices=devices)
+    used = (n // e) * e
+    if used < n:
+        print(f"# inference_mesh: using {used}/{n} devices "
+              f"(data={n // e} x ensemble={e})")
+    return make_mesh(axes, devices=devices[:used])
 
 
 # Diagnostics of the most recent predict() device placement — written on

@@ -136,6 +136,16 @@ class TrainConfig:
     fused_scoring: bool = True
     # Compute the (expensive) spatial KS metric in-step.
     compute_spatial_ks: bool = False
+    # Per-sample high-pass energy-ratio penalty on the generator
+    # (losses.highpass_energy_ratio_loss): ties each sample's fine-scale
+    # texture amplitude to its truth.  0 disables (reference parity — the
+    # reference has no sharpness objective).  Used when fine-tuning the
+    # bundled checkpoint to pull the calm-day overshoot tail in.
+    sharpness_coefficient: float = 0.0
+    # Gaussian cutoff (px) defining the "fine-scale" band for the penalty;
+    # matches the self-downscaling pipeline's blur sigma
+    # (reference data_processing.py:190).
+    sharpness_sigma: float = 7.0
     # Optimizer steps executed per device call in the train loop — the
     # reference's Keras ``_steps_per_execution`` concept (ganbase.py:15).
     # K>1 runs K steps inside one program; the PRNG folds by state.step,

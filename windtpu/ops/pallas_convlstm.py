@@ -177,6 +177,13 @@ def _forward(zx: jax.Array, rk: jax.Array, *, hard_sig: bool,
              interpret: bool) -> jax.Array:
     b, t, hh, ww, f4 = zx.shape
     f = f4 // 4
+    # Callers that force use_fused=True bypass fused_convlstm_supported();
+    # the (3, 3, f, 4f) BlockSpec below would silently slice a 3x3 window
+    # out of a larger recurrent kernel and compute garbage, so fail loudly.
+    if rk.shape[:2] != (3, 3) or rk.shape[2] * 4 != f4 or rk.shape[3] != f4:
+        raise ValueError(
+            f"fused ConvLSTM requires a (3, 3, f, 4f) recurrent kernel; "
+            f"got {rk.shape} for features={f}")
     bt = pick_batch_tile(b, hh, ww, f, zx.dtype.itemsize)
     if bt is None:
         raise ValueError(

@@ -70,6 +70,29 @@ def train(
     metrics_logger = None
     if cfg.checkpoint_dir:
         latest = ckpt.latest_checkpoint(cfg.checkpoint_dir)
+        if multi_host:
+            # Every process must restore the SAME step (or none): each host
+            # scans its local filesystem, and an unshared checkpoint dir (or
+            # a host that lags a save) would make some hosts restore and
+            # others not — replicate_to_mesh would then assemble a
+            # "replicated" state whose per-process shards silently differ,
+            # and gradients would psum over divergent parameters with no
+            # detection.  Broadcast process 0's view and fail loudly on
+            # disagreement.
+            import numpy as np
+
+            def _step_of(path):
+                return int(path.rsplit("step_", 1)[1]) if path else -1
+
+            lead_step = int(multihost_utils.broadcast_one_to_all(
+                np.int64(_step_of(latest))))
+            if _step_of(latest) != lead_step:
+                raise RuntimeError(
+                    f"checkpoint disagreement: process "
+                    f"{jax.process_index()} sees step {_step_of(latest)} "
+                    f"in {cfg.checkpoint_dir} but process 0 sees "
+                    f"{lead_step}; the checkpoint directory must be shared "
+                    f"(or equally replicated) across hosts")
         if latest:
             state = ckpt.restore_checkpoint(latest, state)
             print(f"resumed from {latest} (step {int(state.step)})")

@@ -52,6 +52,47 @@ def gradient_penalty(
     return gradient_penalty_from_grads(grads, gamma)
 
 
+def highpass_energy_ratio_loss(fake: jax.Array, truth: jax.Array,
+                               sigma: float = 7.0,
+                               eps: float = 1e-6) -> jax.Array:
+    """Per-sample squared log-ratio of high-pass energy, fake vs truth.
+
+    The bundled-weights quality gate scores a generator by the ratio of
+    fine-scale (above-blur-cutoff) energy in its output to the truth's
+    (tools/train_shipped_ckpt.py:holdout_figures); WGAN training alone
+    leaves a per-day tail where near-calm days overshoot that ratio by
+    2-5x, because the critic sees mostly windy samples and the texture
+    amplitude stops tracking the flow.  This term penalizes the statistic
+    directly and PER SAMPLE — each day in the batch must carry the right
+    fine-scale energy, not just the batch on average:
+
+        E_b[ ( log hp(fake_b) - log hp(truth_b) )^2 ]
+
+    where hp(x) is the mean squared residual of a Gaussian blur at
+    ``sigma`` (the same cutoff the data pipeline blurs with, so "what
+    blurring removed" is exactly the band being matched).  Computed with
+    an FFT transfer function over (H, W) — differentiable, fp32, and a
+    rounding error of the step cost next to the critic passes.  No
+    reference counterpart: the reference has no sharpness objective at
+    all (its generator loss is adversarial + optional perceptual
+    reconstruction, gan/train.py:29-31).
+    """
+    def hp_energy(x):
+        x = x.astype(jnp.float32)
+        h, w = x.shape[2], x.shape[3]
+        ky = jnp.fft.fftfreq(h)[:, None]
+        kx = jnp.fft.rfftfreq(w)[None, :]
+        g = jnp.exp(-2.0 * (jnp.pi * sigma) ** 2 * (ky ** 2 + kx ** 2))
+        spec = jnp.fft.rfft2(x, axes=(2, 3))
+        blurred = jnp.fft.irfft2(spec * g[None, None, :, :, None],
+                                 s=(h, w), axes=(2, 3))
+        return jnp.mean((x - blurred) ** 2, axis=(1, 2, 3, 4))
+
+    log_ratio = (jnp.log(hp_energy(fake) + eps)
+                 - jnp.log(hp_energy(truth) + eps))
+    return jnp.mean(log_ratio ** 2)
+
+
 class reconstruction_loss:
     """Perceptual feature-space loss (reference gan/train.py:19-26):
     coefficient * E[ ||enc(low_res_uv) - enc(fake)||_2 ]."""

@@ -47,6 +47,7 @@ from windtpu.train.losses import (
     discriminator_loss,
     generator_adversarial_loss,
     gradient_penalty_from_grads,
+    highpass_energy_ratio_loss,
     reconstruction_loss,
 )
 from windtpu.train.state import GANTrainState
@@ -89,6 +90,8 @@ def make_train_step(
     # inline, so the formula can't drift between definitions.
     reco_fn = (reconstruction_loss(feature_fn, tcfg.reconstruction_coefficient)
                if use_reco else None)
+    sharp_coeff = getattr(tcfg, "sharpness_coefficient", 0.0)
+    sharp_sigma = getattr(tcfg, "sharpness_sigma", 7.0)
     _detach_gp = getattr(tcfg, "detach_gp", False) if detach_gp is None else detach_gp
 
     def g_fwd(g_params, g_state, lr, noise, train):
@@ -231,9 +234,14 @@ def make_train_step(
             reco = jnp.zeros(())
             if use_reco:
                 reco = reco_fn(low_res[..., :2], fake)
-            return adv + reco, (g_state_new, d_sp_new, adv, reco)
+            sharp = jnp.zeros(())
+            if sharp_coeff > 0:
+                sharp = sharp_coeff * highpass_energy_ratio_loss(
+                    fake, high_res, sigma=sharp_sigma)
+            return adv + reco + sharp, (g_state_new, d_sp_new, adv, reco,
+                                        sharp)
 
-        (g_loss_val, (g_state, d_sp, g_adv, g_reco)), g_grads = (
+        (g_loss_val, (g_state, d_sp, g_adv, g_reco, g_sharp)), g_grads = (
             jax.value_and_grad(g_loss_fn, has_aux=True)(
                 g_params, g_state, d_sp))
         if pmean_axis is not None:
@@ -241,6 +249,7 @@ def make_train_step(
             g_loss_val = jax.lax.pmean(g_loss_val, pmean_axis)
             g_adv = jax.lax.pmean(g_adv, pmean_axis)
             g_reco = jax.lax.pmean(g_reco, pmean_axis)
+            g_sharp = jax.lax.pmean(g_sharp, pmean_axis)
             # BatchNorm running stats are data-dependent, so each shard
             # holds different values here; average them so the returned
             # state really is replicated (out_specs=P() in shard_step.py).
@@ -260,6 +269,7 @@ def make_train_step(
             "g_loss": g_loss_val,
             "g_disc_loss": g_adv,
             "g_reco_loss": g_reco,
+            "g_sharp_loss": g_sharp,
             "d_gradient_pen": gp_mean_norm,
             "g_gradient_param": g_grad_diag,
             "d_gradient_param": d_grad_diag,
