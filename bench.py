@@ -189,6 +189,72 @@ def bench_inference(smoke=False):
     return h * w / best          # km^2 of domain downscaled per second (24h)
 
 
+def check_regressions(result: dict) -> list:
+    """Compare a bench result against committed BENCH_EXPECTED.json.
+
+    Returns a list of human-readable regression strings (empty = green).
+    Only slow-side misses count: running FASTER than expected is not a
+    regression.  Keys support dotted paths into nested dicts ("parallel.
+    dp_efficiency").  Each entry: {"expected": E, "rel_tol": f} flags
+    value < E*(1-f); {"min": M} flags value < M.  Silent throughput drift
+    (the unexplained r01->r02 -4.8% km^2/s slide) is what this catches.
+    """
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_EXPECTED.json")
+    if not os.path.exists(path):
+        return []
+    with open(path) as f:
+        expected = json.load(f)
+    regressions = []
+    for key, spec in expected.items():
+        if key.startswith("_"):
+            continue
+        node = result
+        for part in key.split("."):
+            node = node.get(part) if isinstance(node, dict) else None
+        if node is None:
+            regressions.append(f"{key}: missing from result")
+            continue
+        floor = None
+        if "expected" in spec:
+            floor = spec["expected"] * (1.0 - spec.get("rel_tol", 0.10))
+        if "min" in spec:
+            floor = max(floor or 0.0, spec["min"])
+        if floor is not None and node < floor:
+            regressions.append(
+                f"{key}: {node:.4g} < floor {floor:.4g} "
+                f"(expected {spec.get('expected', spec.get('min')):.4g})")
+    return regressions
+
+
+def flagship_max_batch(peak):
+    """Largest per-chip batch the flagship (96px, T=24) step fits
+    un-remat'd, with steps/s and MFU there.
+
+    The flagship bench pins batch 2 (the reference's inference group
+    shape); MFU at batch 2 understates the chip because the MXU idles
+    between small convolutions.  This probes doubling batches until the
+    step stops fitting and reports the honest per-chip number.
+    """
+    results = []
+    for b in (2, 4, 8, 16, 32):
+        try:
+            sps, fl = bench_train(image_size=96, seq_len=24, batch=b,
+                                  n_critic=3, steps=3, warmup=1,
+                                  want_flops=True)
+        except Exception as e:
+            print(f"# flagship batch {b} does not fit: "
+                  f"{type(e).__name__}: {str(e)[:200]}")
+            break
+        mfu = (sps * fl / peak) if (fl and peak) else None
+        results.append({"batch": b, "steps_per_sec": round(sps, 4),
+                        "mfu": round(mfu, 4) if mfu else None,
+                        "samples_per_sec": round(sps * b, 2)})
+        print(f"# flagship batch {b}: {sps:.3f} steps/s"
+              + (f", MFU {mfu:.3f}" if mfu else ""))
+    return results
+
+
 def main():
     # Persistent XLA compile cache: on the axon remote platform, compile
     # RPCs dominate wall time (~10 min for the smoke step when cold); the
@@ -203,9 +269,19 @@ def main():
     ap.add_argument("--no-parallel", action="store_true",
                     help="skip the multi-device sharding-efficiency section "
                          "(tools/bench_parallel.py subprocess)")
+    ap.add_argument("--flagship-max-batch", action="store_true",
+                    help="probe the largest flagship (96px, T=24) batch "
+                         "that fits un-remat'd and report steps/s + MFU "
+                         "per batch, then exit (VERDICT r2 item 4)")
     args = ap.parse_args()
 
     peak, device_kind = _peak_flops()
+
+    if args.flagship_max_batch:
+        results = flagship_max_batch(peak)
+        print(json.dumps({"metric": "flagship_batch_sweep",
+                          "device": device_kind, "sweep": results}))
+        return
 
     flagship_mfu = None
     if args.smoke:
@@ -269,7 +345,7 @@ def main():
                 baseline = json.load(f).get("tf_cpu_train_steps_per_sec")
     vs = (steps_per_sec / baseline) if baseline else None
 
-    print(json.dumps({
+    result = {
         "metric": "wgan_gp_train_steps_per_sec",
         "value": round(steps_per_sec, 4),
         "unit": ("steps/s (SMOKE: batch 2, 24px, T=2)" if args.smoke else
@@ -283,7 +359,13 @@ def main():
         "flagship_mfu": round(flagship_mfu, 4) if flagship_mfu else None,
         "inference_km2_per_sec": round(km2_per_sec, 1) if km2_per_sec else None,
         "parallel": parallel,
-    }))
+    }
+    if not args.smoke:
+        # Committed expected values with tolerances: an empty list is the
+        # green light; anything here is a throughput regression that a
+        # human must explain before shipping (BENCH_EXPECTED.json).
+        result["regressions"] = check_regressions(result)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -208,6 +208,88 @@ def convert_discriminator(reader, variables):
     return out
 
 
+def fabricate_generator_checkpoint(variables, prefix):
+    """Write a REAL TF object-graph checkpoint with the reference
+    generator's variable paths (ganbase.py:132-134 save format), taking
+    values from a windtpu generator variables tree.
+
+    This is the exact inverse of :func:`convert_generator` — each
+    ``layer_with_weights-N`` node reproduces the object paths Keras
+    tracking gives the reference graph (TimeDistributed -> .layer =
+    SpectralNormalization -> .w/.sn_u, .layer.layer = inner Conv2D ->
+    .bias; BatchNorm gamma/beta/moving_*; ConvLSTM .cell.*).  Exists so
+    the converter can be round-trip proven in environments where the
+    shipped weights-55 DATA blobs are stripped: fabricate -> convert ->
+    forward parity (tests/test_convert.py).
+    """
+    import tensorflow as tf
+
+    p = variables["params"]
+    st = variables["spectral_stats"]
+    bs = variables["batch_stats"]
+    root = tf.train.Checkpoint()
+
+    def node(i):
+        m = tf.Module()
+        setattr(root, f"layer_with_weights-{i}", m)
+        return m
+
+    def var(x):
+        return tf.Variable(np.asarray(x))
+
+    def snconv(i, name, transpose=False):
+        m = node(i)
+        w = np.asarray(p[name]["kernel"])
+        if transpose:
+            w = w.transpose(0, 1, 3, 2)
+        m.layer = tf.Module()
+        m.layer.w = var(w)
+        m.layer.sn_u = var(np.asarray(st[name]["sn"]["u"])[None, :])
+        m.layer.layer = tf.Module()
+        m.layer.layer.bias = var(p[name]["bias"])
+
+    def conv(i, name, transpose=False):
+        m = node(i)
+        w = np.asarray(p[name]["conv"]["kernel"])
+        if transpose:
+            w = w.transpose(0, 1, 3, 2)
+        m.layer = tf.Module()
+        m.layer.kernel = var(w)
+        m.layer.bias = var(p[name]["conv"]["bias"])
+
+    def bn(i, name):
+        m = node(i)
+        m.gamma = var(p[name]["bn"]["scale"])
+        m.beta = var(p[name]["bn"]["bias"])
+        m.moving_mean = var(bs[name]["bn"]["mean"])
+        m.moving_variance = var(bs[name]["bn"]["var"])
+
+    def convlstm(i, name):
+        m = node(i)
+        m.cell = tf.Module()
+        m.cell.kernel = var(p[name]["input_conv"]["kernel"])
+        # Keras folds the unit forget-gate init into the bias itself.
+        bias = np.asarray(p[name]["input_conv"]["bias"]).copy()
+        fcount = np.asarray(p[name]["forget_bias"]).shape[0]
+        bias[fcount:2 * fcount] += np.asarray(p[name]["forget_bias"])
+        m.cell.bias = var(bias)
+        m.cell.recurrent_kernel = var(p[name]["recurrent_kernel"])
+
+    snconv(0, "down1")
+    bn(1, "bn1")
+    snconv(2, "down2")
+    bn(3, "bn2")
+    convlstm(4, "convlstm")
+    snconv(5, "mid")
+    bn(6, "bn3")
+    snconv(7, "up1", transpose=True)
+    bn(8, "bn4")
+    conv(9, "up2", transpose=True)
+    bn(10, "bn5")
+    conv(11, "out")
+    return root.write(str(prefix))
+
+
 def verify_against_index(ckpt_dir):
     """Shape-check the generator name map against the checkpoint index
     (works even with stripped blobs)."""
