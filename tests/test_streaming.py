@@ -1,0 +1,160 @@
+"""Host-streaming inference engine (infer/streaming.py): the capacity
+fallback for domains whose field+canvas would overflow one chip's HBM
+(VERDICT r2 item 6 / BASELINE config 5).  Must be seam-identical to the
+monolithic on-device engine — same tiling, statistics, and per-group
+noise streams."""
+
+import jax
+import numpy as np
+import pytest
+
+from windtpu.core.config import GANConfig, InferenceConfig, ModelConfig, TrainConfig
+from windtpu.infer.engine import downscale_field
+from windtpu.infer.streaming import downscale_field_streaming
+from windtpu.models.generator import init_generator
+
+TINY_M = ModelConfig(image_size=32, in_channels=3, noise_channels=2,
+                     out_channels=2, sequence_length=4,
+                     generator_features=16, discriminator_features=8)
+TINY_I = InferenceConfig(sequence_length=4, image_size=32, noise_channels=2,
+                         border_crop=2, group_size=4, overlap_factor=0.5)
+
+
+def _field(t=4, h=48, w=48, seed=0):
+    return np.random.RandomState(seed).standard_normal(
+        (t, h, w, 3)).astype(np.float32)
+
+
+class TestStreamingEngine:
+    def test_matches_monolithic_engine(self):
+        """Same key, same domain -> same output (up to the fp64-vs-fp32
+        statistics accumulation) wherever both engines fit."""
+        g_vars = init_generator(TINY_M, jax.random.key(0))
+        field = _field()
+        key = jax.random.key(7)
+        on_device, plan = downscale_field(g_vars, field, TINY_M, TINY_I,
+                                          key=key)
+        streamed, s_plan = downscale_field_streaming(g_vars, field, TINY_M,
+                                                     TINY_I, key=key)
+        assert s_plan.patch_origins().tolist() == \
+            plan.patch_origins().tolist()
+        a, b = np.asarray(on_device), np.asarray(streamed)
+        np.testing.assert_array_equal(np.isnan(a), np.isnan(b))
+        m = ~np.isnan(a)
+        np.testing.assert_allclose(a[m], b[m], atol=2e-3, rtol=1e-3)
+
+    def test_matches_per_channel_mode(self):
+        """Seam identity holds in the fixed (non-quirk) normalization
+        mode too — both engines reduce over (patch, time, lat, lon)."""
+        import dataclasses
+
+        icfg = dataclasses.replace(TINY_I,
+                                   replicate_normalization_quirk=False)
+        g_vars = init_generator(TINY_M, jax.random.key(0))
+        field = _field(seed=3)
+        key = jax.random.key(11)
+        on_device, _ = downscale_field(g_vars, field, TINY_M, icfg, key=key)
+        streamed, _ = downscale_field_streaming(g_vars, field, TINY_M, icfg,
+                                                key=key)
+        a, b = np.asarray(on_device), np.asarray(streamed)
+        m = ~np.isnan(a)
+        np.testing.assert_array_equal(np.isnan(a), np.isnan(b))
+        np.testing.assert_allclose(a[m], b[m], atol=2e-3, rtol=1e-3)
+
+    def test_nan_holes_excluded_from_stats(self):
+        """NaN input pixels (uncovered regrid cells) must not poison the
+        normalization statistics in either engine."""
+        g_vars = init_generator(TINY_M, jax.random.key(0))
+        field = _field(seed=5)
+        field[:, :3, :3, 0] = np.nan
+        key = jax.random.key(2)
+        on_device, _ = downscale_field(g_vars, field, TINY_M, TINY_I,
+                                       key=key)
+        streamed, _ = downscale_field_streaming(g_vars, field, TINY_M,
+                                                TINY_I, key=key)
+        a, b = np.asarray(on_device), np.asarray(streamed)
+        m = ~np.isnan(a)
+        np.testing.assert_allclose(a[m], b[m], atol=2e-3, rtol=1e-3)
+
+    def test_device_memory_is_domain_independent(self):
+        """The streamed path only ever puts one patch group on device:
+        a domain 4x larger must not change the jitted program (cache
+        keyed on group shape alone)."""
+        from windtpu.infer.streaming import _group_apply
+
+        _group_apply.cache_clear()
+        g_vars = init_generator(TINY_M, jax.random.key(0))
+        downscale_field_streaming(g_vars, _field(h=48, w=48), TINY_M,
+                                  TINY_I, key=jax.random.key(0))
+        downscale_field_streaming(g_vars, _field(h=96, w=96), TINY_M,
+                                  TINY_I, key=jax.random.key(0))
+        info = _group_apply.cache_info()
+        assert info.misses == 1 and info.hits >= 1
+
+
+class TestApiStreaming:
+    def _setup(self):
+        from windtpu.infer.template import (
+            build_high_res_template_from_era5, process_era5, process_topo)
+        from windtpu.network import WindDownscalingGAN
+        from tests.test_infer import _fake_dem, _fake_era5
+
+        cfg = GANConfig(model=TINY_M, train=TrainConfig(batch_size=2))
+        network = WindDownscalingGAN(cfg)
+        era5 = _fake_era5(nt=4)
+        tpl = build_high_res_template_from_era5(era5)
+        return (network, process_era5(era5, tpl),
+                process_topo(_fake_dem(), tpl), tpl)
+
+    def test_predict_streaming_matches_default(self):
+        from windtpu import api
+
+        network, inputs_era5, inputs_topo, tpl = self._setup()
+        kw = dict(overlap_factor=0.01, network=network,
+                  key=jax.random.key(0))
+        base = api.predict(inputs_era5, inputs_topo, tpl,
+                           streaming=False, mesh=None, **kw)
+        streamed = api.predict(inputs_era5, inputs_topo, tpl,
+                               streaming=True, **kw)
+        assert api.last_run_info()["mode"] == "streaming"
+        for var in ("u10", "v10"):
+            a = base[var].values
+            b = streamed[var].values
+            np.testing.assert_array_equal(np.isnan(a), np.isnan(b))
+            m = ~np.isnan(a)
+            np.testing.assert_allclose(a[m], b[m], atol=2e-3, rtol=1e-3)
+
+    def test_predict_streaming_ensemble(self):
+        from windtpu import api
+
+        network, inputs_era5, inputs_topo, tpl = self._setup()
+        out = api.predict(inputs_era5, inputs_topo, tpl,
+                          overlap_factor=0.01, network=network,
+                          key=jax.random.key(1), ensemble_members=2,
+                          streaming=True)
+        assert out["u10"].dims == ("member", "time", "lat_1", "lon_1")
+        p = out["u10"].values
+        m = ~np.isnan(p[0])
+        assert not np.allclose(p[0][m], p[1][m])
+
+    def test_auto_trigger_on_hbm_budget(self, monkeypatch):
+        """streaming='auto' flips to the host engine exactly when the
+        resident-domain estimate crosses $WINDTPU_STREAMING_BYTES."""
+        from windtpu import api
+
+        network, inputs_era5, inputs_topo, tpl = self._setup()
+        kw = dict(overlap_factor=0.01, network=network,
+                  key=jax.random.key(0), mesh=None)
+        monkeypatch.setenv("WINDTPU_STREAMING_BYTES", "1")
+        api.predict(inputs_era5, inputs_topo, tpl, **kw)
+        assert api.last_run_info()["mode"] == "streaming"
+        monkeypatch.setenv("WINDTPU_STREAMING_BYTES", str(1 << 40))
+        api.predict(inputs_era5, inputs_topo, tpl, **kw)
+        assert api.last_run_info()["mode"] != "streaming"
+
+    def test_hbm_estimate_formula(self):
+        from windtpu.api import _engine_hbm_bytes
+
+        # field(in) + canvas(out) + psum buffer(out) + coverage(1), fp32.
+        assert _engine_hbm_bytes(24, 100, 200, 3, 2) == \
+            4 * 24 * 100 * 200 * (3 + 2 + 2 + 1)

@@ -1,0 +1,150 @@
+"""Measure the largest (T=24, H, W) domain the monolithic on-device
+inference engine can stitch on one chip, and time the streaming engine
+past that ceiling (VERDICT r2 item 6 / BASELINE config 5 capacity story).
+
+Binary-searches the spatial edge (square domains, flagship model, T=24)
+between "fits" and "OOMs / fails to compile", then runs the streaming
+engine on a domain past the ceiling to show the fallback works where the
+monolithic engine cannot.  Writes docs/capacity_measured.json.
+
+Run on the real chip (the bench harness environment):
+    python tools/capacity_probe.py [--max-edge 4096] [--t 24]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def _try_monolithic(edge: int, t: int, mcfg, icfg, g_vars) -> float | None:
+    """Seconds for one stitched domain, or None if it does not fit."""
+    import jax
+
+    from windtpu.infer.engine import make_tiled_predictor
+    from windtpu.infer.tiling import plan_tiling
+
+    try:
+        plan = plan_tiling(edge, edge, t, icfg.image_size,
+                           icfg.sequence_length, icfg.overlap_factor)
+        rng = np.random.RandomState(0)
+        field = rng.standard_normal((t, edge, edge, mcfg.in_channels))
+        field = field.astype(np.float32)
+        predictor = make_tiled_predictor(mcfg, icfg, plan)
+        key = jax.random.key(0)
+        pred, _ = predictor(g_vars, field, key)   # compile + run
+        jax.block_until_ready(pred)
+        t0 = time.perf_counter()
+        pred, _ = predictor(g_vars, field, key)
+        jax.block_until_ready(pred)
+        dt = time.perf_counter() - t0
+        del pred
+        return dt
+    except Exception as e:  # XlaRuntimeError RESOURCE_EXHAUSTED, etc.
+        msg = f"{type(e).__name__}: {e}"
+        if "RESOURCE_EXHAUSTED" not in msg and "memory" not in msg.lower():
+            raise
+        print(f"  edge={edge}: OOM ({msg.splitlines()[0][:120]})")
+        return None
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--t", type=int, default=24)
+    ap.add_argument("--min-edge", type=int, default=512)
+    ap.add_argument("--max-edge", type=int, default=4608)
+    ap.add_argument("--out", default="docs/capacity_measured.json")
+    args = ap.parse_args()
+
+    from windtpu.utils.compilecache import enable_persistent_cache
+
+    enable_persistent_cache()
+
+    import jax
+
+    from windtpu.api import _engine_hbm_bytes, flagship_config
+    from windtpu.core.config import InferenceConfig
+    from windtpu.models.generator import init_generator
+
+    cfg = flagship_config()
+    mcfg = cfg.model
+    icfg = InferenceConfig(sequence_length=mcfg.sequence_length,
+                           image_size=mcfg.image_size,
+                           noise_channels=mcfg.noise_channels)
+    g_vars = init_generator(mcfg, jax.random.key(0))
+    dev = jax.devices()[0]
+    print(f"device: {dev.device_kind}")
+
+    # Bracket then bisect on the square edge, snapping to multiples of 96
+    # so the tiling plan stays dense.
+    lo, hi = args.min_edge, None
+    edge = args.min_edge
+    results = {}
+    while edge <= args.max_edge:
+        dt = _try_monolithic(edge, args.t, mcfg, icfg, g_vars)
+        results[edge] = dt
+        print(f"  edge={edge}: " +
+              (f"{dt:.2f}s ({args.t * edge * edge / dt / 1e6:.2f} M km²/s)"
+               if dt else "OOM"))
+        if dt is None:
+            hi = edge
+            break
+        lo = edge
+        edge *= 2
+    if hi is None:
+        print(f"  no OOM up to edge={args.max_edge}; ceiling >= that")
+        hi = args.max_edge
+    else:
+        while hi - lo > 192:
+            mid = ((lo + hi) // 2) // 96 * 96
+            if mid in (lo, hi):
+                break
+            dt = _try_monolithic(mid, args.t, mcfg, icfg, g_vars)
+            results[mid] = dt
+            print(f"  edge={mid}: " + (f"{dt:.2f}s" if dt else "OOM"))
+            if dt is None:
+                hi = mid
+            else:
+                lo = mid
+
+    ceiling_bytes = _engine_hbm_bytes(args.t, lo, lo, mcfg.in_channels,
+                                      mcfg.out_channels)
+    print(f"monolithic ceiling: {lo}x{lo} @ T={args.t} "
+          f"(domain tensors ~{ceiling_bytes / 2**30:.2f} GiB)")
+
+    # Streaming past the ceiling: 1.5x the failing edge.
+    from windtpu.infer.streaming import downscale_field_streaming
+
+    s_edge = int(hi * 1.5) // 96 * 96
+    rng = np.random.RandomState(1)
+    field = rng.standard_normal(
+        (args.t, s_edge, s_edge, mcfg.in_channels)).astype(np.float32)
+    t0 = time.perf_counter()
+    out, _ = downscale_field_streaming(g_vars, field, mcfg, icfg,
+                                       key=jax.random.key(1))
+    s_dt = time.perf_counter() - t0
+    s_rate = args.t * s_edge * s_edge / s_dt / 1e6
+    print(f"streaming {s_edge}x{s_edge} @ T={args.t}: {s_dt:.1f}s "
+          f"({s_rate:.2f} M km²/s)")
+
+    payload = {
+        "device": dev.device_kind,
+        "t": args.t,
+        "monolithic_max_edge": lo,
+        "monolithic_fail_edge": hi if results.get(hi, 0) is None else None,
+        "monolithic_domain_tensor_gib": round(ceiling_bytes / 2**30, 3),
+        "probe_times_s": {str(k): v for k, v in results.items()},
+        "streaming_edge": s_edge,
+        "streaming_s": round(s_dt, 2),
+        "streaming_mkm2_per_s": round(s_rate, 3),
+    }
+    with open(args.out, "w") as f:
+        json.dump(payload, f, indent=1)
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

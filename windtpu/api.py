@@ -126,6 +126,30 @@ def last_run_info() -> dict:
     return dict(_LAST_RUN)
 
 
+def _engine_hbm_bytes(t: int, h: int, w: int, in_ch: int,
+                      out_ch: int) -> int:
+    """Rough per-chip HBM footprint of the monolithic engine: replicated
+    field + canvas + static coverage map + one psum-sized canvas buffer,
+    all fp32 (infer/engine.py keeps the whole domain resident)."""
+    px = t * h * w
+    return 4 * (px * in_ch + 2 * px * out_ch + px)
+
+
+# Streaming kicks in when the monolithic engine's resident domain tensors
+# would exceed this many bytes.  Default 8 GB: half a v5e's 16 GB HBM,
+# leaving room for generator weights/activations and XLA scratch
+# (docs/CAPACITY.md records the measured ceiling).  Override with
+# WINDTPU_STREAMING_BYTES.
+_STREAMING_DEFAULT_BYTES = 8 << 30
+
+
+def _streaming_threshold() -> int:
+    import os
+
+    return int(os.environ.get("WINDTPU_STREAMING_BYTES",
+                              _STREAMING_DEFAULT_BYTES))
+
+
 def predict(
     inputs_era5: Dataset,
     inputs_topo: Dataset,
@@ -136,6 +160,7 @@ def predict(
     ensemble_members: int = 1,
     noise_std: Optional[float] = None,
     mesh="auto",
+    streaming="auto",
 ) -> Dataset:
     """Tile the merged (u10, v10, elevation) field into
     24 x 96 x 96 cubes, run the generator with fresh noise, stitch with
@@ -150,6 +175,13 @@ def predict(
     ``ensemble`` axis and patch groups shard over a ``data`` axis; pass an
     explicit :class:`jax.sharding.Mesh` with those axis names to control
     placement, or None to force the single-device path.
+
+    ``streaming``: "auto" (default) switches to the host-streaming engine
+    (infer/streaming.py — O(patch-group) device memory, field/canvas in
+    host RAM) when the monolithic engine's resident tensors would exceed
+    the per-chip HBM budget (see ``_engine_hbm_bytes``); True forces it,
+    False forbids it.  Streamed output is seam-identical to the
+    monolithic engine — same tiling, statistics, and noise streams.
     """
     network = network if network is not None else get_network()
     mcfg = network.cfg.model
@@ -173,6 +205,32 @@ def predict(
     plan = plan_tiling(h, w, t_total, icfg.image_size, icfg.sequence_length,
                        overlap_factor)
     print(f"Applying model to {plan.num_patches} patches")
+    if streaming == "auto":
+        streaming = (_engine_hbm_bytes(t_total, h, w, mcfg.in_channels,
+                                       mcfg.out_channels)
+                     > _streaming_threshold())
+        if streaming:
+            print("# domain exceeds the on-device engine's HBM budget; "
+                  "using the host-streaming engine")
+    if streaming:
+        from windtpu.infer.streaming import downscale_field_streaming
+
+        key = key if key is not None else jax.random.key(0)
+        if ensemble_members > 1:
+            keys = jax.random.split(key, ensemble_members)
+            pred = np.stack([downscale_field_streaming(
+                network.generator_variables, field, mcfg, icfg,
+                key=k, plan=plan)[0] for k in keys])
+            member_axis = True
+        else:
+            pred, _ = downscale_field_streaming(
+                network.generator_variables, field, mcfg, icfg,
+                key=key, plan=plan)
+            member_axis = False
+        _LAST_RUN.update(mode="streaming", mesh_axes=None,
+                         ensemble_sharded=False, n_devices=1)
+        return _assemble_output(pred, member_axis, plan, icfg, time_vals,
+                                lat, lon, ensemble_members)
     if isinstance(mesh, str) and mesh == "auto":
         mesh = inference_mesh(ensemble_members)
     tile_parallel = (mesh is not None and "data" in mesh.axis_names
@@ -231,14 +289,19 @@ def predict(
         pred = np.asarray(jax.device_get(pred))
         member_axis = False
 
+    return _assemble_output(pred, member_axis, plan, icfg, time_vals,
+                            lat, lon, ensemble_members)
+
+
+def _assemble_output(pred, member_axis, plan, icfg, time_vals, lat, lon,
+                     ensemble_members):
+    """Stitched canvas -> output Dataset: trim to the covered time window
+    and drop the border-cropped rim (reference api.py:150-152 isel(2,-2) +
+    groupby-mean drops those coordinates from its grid entirely; same here
+    rather than returning a NaN frame)."""
     covered_t = plan.num_time_chunks * icfg.sequence_length
     pred = pred[..., :covered_t, :, :, :] if member_axis \
         else pred[:covered_t]
-    # Each patch's 2-px border is discarded before stitching, so tiles at
-    # the domain boundary never cover the outer rim.  The reference drops
-    # those coordinates from its output grid entirely (api.py:150-152
-    # isel(slice(2,-2)) + groupby-mean); do the same rather than returning
-    # a NaN frame.
     b = icfg.border_crop
     if b:
         pred = pred[..., b:-b, b:-b, :]
