@@ -85,16 +85,49 @@ def test_bundle_sharpens_heldout_terrain():
     hp_input = highpass_energy(low_b[0, ..., 0])
     hp_fake = highpass_energy(fake[0, ..., 0])
     # The input is blurred, so its high-pass energy is a small fraction of
-    # the truth's; the bundle must restore a solid share of it (but not
-    # overshoot into static — random init fails the upper bound).
+    # the truth's; the bundle must restore most of it (but not overshoot
+    # into static — random init fails the upper bound).  The shipped
+    # 17k-step fine-tune measures 0.79x the truth's energy here; the band
+    # is the tightest that tolerates checkpoint-to-checkpoint variance.
     assert hp_fake > 3.0 * hp_input, (hp_fake, hp_input, hp_truth)
-    assert 0.25 * hp_truth < hp_fake < 4.0 * hp_truth, (hp_fake, hp_truth)
+    assert 0.5 * hp_truth < hp_fake < 2.0 * hp_truth, (hp_fake, hp_truth)
 
-    # Large-scale fidelity backstop.  The blur is close to the
-    # RMSE-optimal predictor (a GAN deliberately trades pointwise RMSE
-    # for spectral realism — the shipped bundle lands around 2.7x the
-    # blur's RMSE on this single held-out domain), so this bound only
-    # catches breakdowns: output decorrelated from the synoptic flow.
+    # Large-scale fidelity backstop: the shipped bundle actually beats the
+    # blur's RMSE on this held-out domain (0.59x measured), so anything
+    # past 1.5x the blur means the output decorrelated from the synoptic
+    # flow.
     rmse_fake = float(np.sqrt(np.mean((fake - high_b) ** 2)))
     rmse_blur = float(np.sqrt(np.mean((low_b[..., :2] - high_b) ** 2)))
-    assert rmse_fake < 4.0 * rmse_blur, (rmse_fake, rmse_blur)
+    assert rmse_fake < 1.5 * rmse_blur, (rmse_fake, rmse_blur)
+
+
+def test_bundle_per_day_sharpness_band():
+    """Gate the per-day high-pass tail, not just the pooled statistic.
+
+    The pooled ratio can sit near 1.0 while a near-calm day overshoots
+    badly (its truth energy is tiny, so pooling hides it).  This runs the
+    fixed A/B protocol (tools/eval_ckpt_ab.py, seed 4242 — held out from
+    both training and in-training selection) and bounds every per-day
+    ratio.  Bounds encode the shipped bundle's measured quality
+    (pooled 0.84, per-day [0.66 .. 3.92], worst = the calm batch) with
+    margin; tighten as fine-tuning pulls the tail in."""
+    from train_shipped_ckpt import highpass_energy, make_holdout_batches
+
+    from windtpu.train.checkpoint import load_generator_npz
+
+    gen, template = _flagship_generator(batch=8)
+    variables = load_generator_npz(BUNDLED, template)
+    fwd = jax.jit(lambda v, x, n: gen.apply(v, x, n, train=False))
+
+    hp_f, hp_t = [], []
+    for i, (low, high) in enumerate(make_holdout_batches(4242)):
+        noise = 0.1 * jax.random.normal(jax.random.key(100 + i),
+                                        low.shape[:-1] + (20,))
+        fake = np.asarray(fwd(variables, jnp.asarray(low), noise))
+        hp_f.append(highpass_energy(fake[..., 0]))
+        hp_t.append(highpass_energy(high[..., 0]))
+
+    pooled = sum(hp_f) / sum(hp_t)
+    ratios = [f / t for f, t in zip(hp_f, hp_t)]
+    assert 0.65 < pooled < 1.25, (pooled, ratios)
+    assert all(0.45 < r < 4.5 for r in ratios), ratios
