@@ -189,7 +189,7 @@ def bench_inference(smoke=False):
     return h * w / best          # km^2 of domain downscaled per second (24h)
 
 
-def check_regressions(result: dict) -> list:
+def check_regressions(result: dict, skip_prefixes: tuple = ()) -> list:
     """Compare a bench result against committed BENCH_EXPECTED.json.
 
     Returns a list of human-readable regression strings (empty = green).
@@ -198,6 +198,13 @@ def check_regressions(result: dict) -> list:
     dp_efficiency").  Each entry: {"expected": E, "rel_tol": f} flags
     value < E*(1-f); {"min": M} flags value < M.  Silent throughput drift
     (the unexplained r01->r02 -4.8% km^2/s slide) is what this catches.
+
+    ``skip_prefixes``: expected keys the caller legitimately did not
+    measure (e.g. "parallel." under --no-parallel, "mfu" when the device
+    kind has no known peak FLOPS) — skipped, not flagged.  A metric that
+    is missing because its measurement CRASHED still counts as a
+    regression: 'empty = green' must mean everything configured to run
+    actually ran.
     """
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "BENCH_EXPECTED.json")
@@ -208,6 +215,8 @@ def check_regressions(result: dict) -> list:
     regressions = []
     for key, spec in expected.items():
         if key.startswith("_"):
+            continue
+        if any(key == p or key.startswith(p) for p in skip_prefixes):
             continue
         node = result
         for part in key.split("."):
@@ -364,7 +373,14 @@ def main():
         # Committed expected values with tolerances: an empty list is the
         # green light; anything here is a throughput regression that a
         # human must explain before shipping (BENCH_EXPECTED.json).
-        result["regressions"] = check_regressions(result)
+        # Sections the flags/device legitimately exclude are skipped, not
+        # flagged (a crashed section still flags as missing).
+        skip = ()
+        if args.no_parallel:
+            skip += ("parallel.",)
+        if mfu is None:
+            skip += ("mfu",)  # unknown device peak FLOPS, not a slowdown
+        result["regressions"] = check_regressions(result, skip)
     print(json.dumps(result))
 
 

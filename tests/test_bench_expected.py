@@ -38,3 +38,15 @@ def test_faster_is_not_flagged():
 def test_missing_section_is_flagged():
     regs = check_regressions(dict(R02, parallel=None))
     assert any("missing" in r for r in regs)
+
+
+def test_intentionally_skipped_sections_are_green():
+    """--no-parallel / unknown-FLOPS devices legitimately omit sections;
+    those must not poison the 'empty = green' signal (while a crashed
+    section — not in skip_prefixes — still flags, above)."""
+    result = dict(R02, parallel=None, mfu=None)
+    assert check_regressions(result, skip_prefixes=("parallel.", "mfu")) == []
+    # Skipping one section does not mute the others.
+    bad = dict(result, value=1.5)
+    regs = check_regressions(bad, skip_prefixes=("parallel.", "mfu"))
+    assert any(r.startswith("value:") for r in regs)

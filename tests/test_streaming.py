@@ -137,6 +137,35 @@ class TestApiStreaming:
         m = ~np.isnan(p[0])
         assert not np.allclose(p[0][m], p[1][m])
 
+    def test_predict_streaming_ensemble_matches_monolithic(self):
+        """Member-for-member seam identity of the ensemble path: the
+        streamed predict must reproduce the monolithic vmapped ensemble
+        (same jax.random.split member keys, same per-group noise
+        streams) — not merely produce members that differ.
+
+        Tolerance: on the real TPU the monolithic engine is one XLA
+        program (members vmap-batched through the convs) and streaming
+        is a small per-group program, so fp32 rounding differs across
+        the program boundary — measured max |diff| 4.6e-3, mean 7e-6 on
+        a v5e at value scale ~1.6 (a key-stream bug shows up as O(1)
+        decorrelation, far above the 1e-2 bound)."""
+        from windtpu import api
+
+        network, inputs_era5, inputs_topo, tpl = self._setup()
+        kw = dict(overlap_factor=0.01, network=network,
+                  key=jax.random.key(3), ensemble_members=2)
+        base = api.predict(inputs_era5, inputs_topo, tpl,
+                           streaming=False, mesh=None, **kw)
+        streamed = api.predict(inputs_era5, inputs_topo, tpl,
+                               streaming=True, **kw)
+        for var in ("u10", "v10"):
+            a = base[var].values
+            b = streamed[var].values
+            assert a.shape == b.shape and a.shape[0] == 2
+            np.testing.assert_array_equal(np.isnan(a), np.isnan(b))
+            m = ~np.isnan(a)
+            np.testing.assert_allclose(a[m], b[m], atol=1e-2, rtol=1e-3)
+
     def test_auto_trigger_on_hbm_budget(self, monkeypatch):
         """streaming='auto' flips to the host engine exactly when the
         resident-domain estimate crosses $WINDTPU_STREAMING_BYTES."""
@@ -158,3 +187,31 @@ class TestApiStreaming:
         # field(in) + canvas(out) + psum buffer(out) + coverage(1), fp32.
         assert _engine_hbm_bytes(24, 100, 200, 3, 2) == \
             4 * 24 * 100 * 200 * (3 + 2 + 2 + 1)
+        # Ensemble members multiply the canvas term only (the field and
+        # coverage map are shared across members on a device).
+        assert _engine_hbm_bytes(24, 100, 200, 3, 2,
+                                 members_per_device=4) == \
+            4 * 24 * 100 * 200 * (3 + 4 * (2 + 2) + 1)
+
+    def test_auto_trigger_accounts_for_ensemble_members(self, monkeypatch):
+        """A multi-member monolithic run holds one canvas per member:
+        the auto threshold must trip on the member-scaled footprint, not
+        the single-member one (members=8 used to OOM on domains the
+        estimate said fit)."""
+        from windtpu import api
+
+        network, inputs_era5, inputs_topo, tpl = self._setup()
+        t, h, w = (inputs_era5["u10"].shape[0],
+                   tpl.sizes["lat_1"], tpl.sizes["lon_1"])
+        one = api._engine_hbm_bytes(t, h, w, 3, 2, members_per_device=1)
+        eight = api._engine_hbm_bytes(t, h, w, 3, 2, members_per_device=8)
+        assert eight > one
+        # Threshold between the 1-member and 8-member estimates: a single
+        # member stays monolithic, 8 members stream.
+        monkeypatch.setenv("WINDTPU_STREAMING_BYTES", str((one + eight) // 2))
+        kw = dict(overlap_factor=0.01, network=network,
+                  key=jax.random.key(0), mesh=None)
+        api.predict(inputs_era5, inputs_topo, tpl, **kw)
+        assert api.last_run_info()["mode"] != "streaming"
+        api.predict(inputs_era5, inputs_topo, tpl, ensemble_members=8, **kw)
+        assert api.last_run_info()["mode"] == "streaming"

@@ -80,7 +80,7 @@ def main() -> None:
 
     # Bracket then bisect on the square edge, snapping to multiples of 96
     # so the tiling plan stays dense.
-    lo, hi = args.min_edge, None
+    lo, hi = None, None          # lo = largest edge PROVEN to fit
     edge = args.min_edge
     results = {}
     while edge <= args.max_edge:
@@ -94,7 +94,12 @@ def main() -> None:
             break
         lo = edge
         edge *= 2
-    if hi is None:
+    if lo is None:
+        # Even the smallest probed edge OOMs: there is no proven ceiling
+        # to report — do NOT record min_edge as if it fit.
+        print(f"  edge={args.min_edge} already OOMs; no monolithic "
+              f"ceiling measured (retry with a smaller --min-edge)")
+    elif hi is None:
         print(f"  no OOM up to edge={args.max_edge}; ceiling >= that")
         hi = args.max_edge
     else:
@@ -110,15 +115,17 @@ def main() -> None:
             else:
                 lo = mid
 
-    ceiling_bytes = _engine_hbm_bytes(args.t, lo, lo, mcfg.in_channels,
-                                      mcfg.out_channels)
-    print(f"monolithic ceiling: {lo}x{lo} @ T={args.t} "
-          f"(domain tensors ~{ceiling_bytes / 2**30:.2f} GiB)")
+    ceiling_bytes = None
+    if lo is not None:
+        ceiling_bytes = _engine_hbm_bytes(args.t, lo, lo, mcfg.in_channels,
+                                          mcfg.out_channels)
+        print(f"monolithic ceiling: {lo}x{lo} @ T={args.t} "
+              f"(domain tensors ~{ceiling_bytes / 2**30:.2f} GiB)")
 
     # Streaming past the ceiling: 1.5x the failing edge.
     from windtpu.infer.streaming import downscale_field_streaming
 
-    s_edge = int(hi * 1.5) // 96 * 96
+    s_edge = int((hi or args.min_edge) * 1.5) // 96 * 96
     rng = np.random.RandomState(1)
     field = rng.standard_normal(
         (args.t, s_edge, s_edge, mcfg.in_channels)).astype(np.float32)
@@ -133,9 +140,10 @@ def main() -> None:
     payload = {
         "device": dev.device_kind,
         "t": args.t,
-        "monolithic_max_edge": lo,
+        "monolithic_max_edge": lo,   # None = nothing probed ever fit
         "monolithic_fail_edge": hi if results.get(hi, 0) is None else None,
-        "monolithic_domain_tensor_gib": round(ceiling_bytes / 2**30, 3),
+        "monolithic_domain_tensor_gib":
+            round(ceiling_bytes / 2**30, 3) if ceiling_bytes else None,
         "probe_times_s": {str(k): v for k, v in results.items()},
         "streaming_edge": s_edge,
         "streaming_s": round(s_dt, 2),

@@ -230,7 +230,7 @@ def make_holdout_batches(seed, n_batches=4, batch=8, patch=96, seq=6,
     return batches
 
 
-def holdout_figures(fwd, g_vars, batches):
+def holdout_figures(fwd, g_vars, batches, worst_weight=0.10):
     """(hp_pooled, worst_day_ratio, lsd_mean, ws_rmse_mean, score).
 
     ``hp_pooled`` is sum(hp_fake)/sum(hp_truth) over all batches — the
@@ -262,7 +262,7 @@ def holdout_figures(fwd, g_vars, batches):
     worst = max(ratios, key=lambda r: abs(np.log(max(r, 1e-9))))
     lsd, rmse = np.mean(lsds), np.mean(rmses)
     score = (rmse + 0.25 * abs(np.log(max(pooled, 1e-9)))
-             + 0.10 * abs(np.log(max(worst, 1e-9))))
+             + worst_weight * abs(np.log(max(worst, 1e-9))))
     return float(pooled), float(worst), float(lsd), float(rmse), float(score)
 
 
@@ -322,6 +322,18 @@ def main():
                          "last-step selection because WGAN sharpness "
                          "oscillates across critic/generator phases")
     ap.add_argument("--holdout-seed", type=int, default=777)
+    ap.add_argument("--score-worst-weight", type=float, default=0.10,
+                    help="weight of |log worst-day hp ratio| in the "
+                         "selection score (holdout_figures); raise it when "
+                         "fine-tuning specifically for the calm-day tail — "
+                         "the default mostly tracks ws-RMSE")
+    ap.add_argument("--calm-eval-batches", type=int, default=1,
+                    help="number of explicitly-calm batches in the "
+                         "selection holdout (make_holdout_batches "
+                         "calm_batches); one calm batch makes the worst-day "
+                         "statistic a single high-variance draw that "
+                         "transfers poorly to the final A/B seed — more "
+                         "batches stabilize tail-targeted selection")
     ap.add_argument("--ckpt-dir", default=None,
                     help="directory for periodic full-train-state Orbax "
                          "checkpoints (enables --resume)")
@@ -422,7 +434,7 @@ def main():
               flush=True)
         holdout = make_holdout_batches(
             args.holdout_seed, batch=args.batch, patch=args.patch,
-            seq=args.seq)
+            seq=args.seq, calm_batches=args.calm_eval_batches)
         # Survive watchdog restarts: without a stored score, best_score
         # resets to inf on relaunch and the first post-restart eval
         # overwrites .best.npz even when it is worse than the stored one.
@@ -441,7 +453,9 @@ def main():
 
                 stored = load_generator_npz(
                     best_npz, jax.device_get(state.g_variables()))
-                *_, best_score = holdout_figures(fwd_sel, stored, holdout)
+                *_, best_score = holdout_figures(
+                    fwd_sel, stored, holdout,
+                    worst_weight=args.score_worst_weight)
                 print(f"re-scored stored best checkpoint {best_npz}: "
                       f"{best_score:.3f}", flush=True)
             except Exception as e:  # shape mismatch after a config edit
@@ -472,7 +486,8 @@ def main():
                   f"({time.time() - t0:.0f}s)", flush=True)
         if holdout and step and step % args.holdout_every == 0:
             hp, worst, lsd, rmse, score = holdout_figures(
-                fwd_sel, state.g_variables(), holdout)
+                fwd_sel, state.g_variables(), holdout,
+                worst_weight=args.score_worst_weight)
             marker = ""
             if score < best_score:
                 best_score = score

@@ -108,11 +108,9 @@ def inference_mesh(ensemble_members: int = 1, devices=None):
         axes["ensemble"] = e
     if not axes:
         return None
-    used = (n // e) * e
-    if used < n:
-        print(f"# inference_mesh: using {used}/{n} devices "
-              f"(data={n // e} x ensemble={e})")
-    return make_mesh(axes, devices=devices[:used])
+    # e divides n by construction, so data x ensemble always equals n —
+    # every device is used.
+    return make_mesh(axes, devices=devices)
 
 
 # Diagnostics of the most recent predict() device placement — written on
@@ -127,12 +125,15 @@ def last_run_info() -> dict:
 
 
 def _engine_hbm_bytes(t: int, h: int, w: int, in_ch: int,
-                      out_ch: int) -> int:
+                      out_ch: int, members_per_device: int = 1) -> int:
     """Rough per-chip HBM footprint of the monolithic engine: replicated
     field + canvas + static coverage map + one psum-sized canvas buffer,
-    all fp32 (infer/engine.py keeps the whole domain resident)."""
+    all fp32 (infer/engine.py keeps the whole domain resident).  Ensemble
+    members multiply the canvas term — the vmapped/sharded ensemble paths
+    hold one canvas (and stitched output) per member resident on each
+    device, so the estimate takes the PER-DEVICE member count."""
     px = t * h * w
-    return 4 * (px * in_ch + 2 * px * out_ch + px)
+    return 4 * (px * in_ch + members_per_device * 2 * px * out_ch + px)
 
 
 # Streaming kicks in when the monolithic engine's resident domain tensors
@@ -205,9 +206,18 @@ def predict(
     plan = plan_tiling(h, w, t_total, icfg.image_size, icfg.sequence_length,
                        overlap_factor)
     print(f"Applying model to {plan.num_patches} patches")
+    if isinstance(mesh, str) and mesh == "auto":
+        mesh = inference_mesh(ensemble_members)
     if streaming == "auto":
+        # Per-device member count: with an ensemble mesh axis each device
+        # holds only its member shard's canvases.
+        m_loc = ensemble_members
+        if (mesh is not None and "ensemble" in mesh.axis_names
+                and ensemble_members % mesh.shape["ensemble"] == 0):
+            m_loc = ensemble_members // mesh.shape["ensemble"]
         streaming = (_engine_hbm_bytes(t_total, h, w, mcfg.in_channels,
-                                       mcfg.out_channels)
+                                       mcfg.out_channels,
+                                       members_per_device=m_loc)
                      > _streaming_threshold())
         if streaming:
             print("# domain exceeds the on-device engine's HBM budget; "
@@ -218,9 +228,9 @@ def predict(
         key = key if key is not None else jax.random.key(0)
         if ensemble_members > 1:
             keys = jax.random.split(key, ensemble_members)
-            pred = np.stack([downscale_field_streaming(
+            pred, _ = downscale_field_streaming(
                 network.generator_variables, field, mcfg, icfg,
-                key=k, plan=plan)[0] for k in keys])
+                plan=plan, ensemble_keys=keys)
             member_axis = True
         else:
             pred, _ = downscale_field_streaming(
@@ -231,8 +241,6 @@ def predict(
                          ensemble_sharded=False, n_devices=1)
         return _assemble_output(pred, member_axis, plan, icfg, time_vals,
                                 lat, lon, ensemble_members)
-    if isinstance(mesh, str) and mesh == "auto":
-        mesh = inference_mesh(ensemble_members)
     tile_parallel = (mesh is not None and "data" in mesh.axis_names
                      and mesh.shape["data"] > 1)
     key = key if key is not None else jax.random.key(0)

@@ -63,9 +63,21 @@ def _group_apply(mcfg: ModelConfig, icfg: InferenceConfig, seq: int,
     return run
 
 
+def _clamped_start(start: int, size: int, dim: int) -> int:
+    """jax.lax.dynamic_slice start-index clamping: slices never run out of
+    bounds, they shift back instead.  The engine inherits this from XLA;
+    the host path must reproduce it for plans whose covered window exceeds
+    the field (numpy slicing would silently truncate, then the stitch
+    would broadcast-crash)."""
+    return max(0, min(start, dim - size))
+
+
 def _host_patch(field: np.ndarray, origin, seq: int, img: int) -> np.ndarray:
     sx, sy, k = int(origin[0]), int(origin[1]), int(origin[2])
-    patch = field[k * seq:(k + 1) * seq, sy:sy + img, sx:sx + img]
+    t0 = _clamped_start(k * seq, seq, field.shape[0])
+    y0 = _clamped_start(sy, img, field.shape[1])
+    x0 = _clamped_start(sx, img, field.shape[2])
+    patch = field[t0:t0 + seq, y0:y0 + img, x0:x0 + img]
     return patch[:, ::-1, :, :]                  # lat-reversed (api.py:119)
 
 
@@ -105,12 +117,19 @@ def downscale_field_streaming(
     icfg: Optional[InferenceConfig] = None,
     key: Optional[jax.Array] = None,
     plan: Optional[TilingPlan] = None,
+    ensemble_keys: Optional[jax.Array] = None,
 ) -> Tuple[np.ndarray, TilingPlan]:
     """Tile + predict + stitch with O(group) device memory.
 
     Same contract as engine.downscale_field but the field stays a numpy
     array and the (T, H, W, out_channels) result is assembled on the
     host.  Pixels no patch covers are NaN, as in the engine.
+
+    With ``ensemble_keys`` (shape (M,)) the result gains a leading member
+    axis, one stochastic downscaling per key — the normalization
+    statistics and coverage map are key-independent and computed ONCE,
+    not per member (on the huge domains this path exists for, the stats
+    pass is a full-domain host sweep).
     """
     icfg = icfg or InferenceConfig(
         sequence_length=mcfg.sequence_length, image_size=mcfg.image_size,
@@ -120,7 +139,6 @@ def downscale_field_streaming(
     if plan is None:
         plan = plan_tiling(h, w_pix, t_total, icfg.image_size,
                            icfg.sequence_length, icfg.overlap_factor)
-    key = key if key is not None else jax.random.key(0)
     seq, img, crop = plan.sequence_length, plan.image_size, icfg.border_crop
 
     origins_g, weights_g = _grouped_origins(plan, icfg.group_size)
@@ -129,26 +147,37 @@ def downscale_field_streaming(
         counts = np.concatenate(
             [counts, np.zeros((t_total - counts.shape[0],) + counts.shape[1:],
                               np.float32)], axis=0)
+    elif counts.shape[0] > t_total:
+        counts = counts[:t_total]  # engine trims the same way (engine.py)
     mean, std = _host_stats(field, origins_g, weights_g, seq, img,
                             icfg.replicate_normalization_quirk)
 
     apply_group = _group_apply(mcfg, icfg, seq, img)
-    canvas = np.zeros((t_total, h, w_pix, mcfg.out_channels), np.float32)
     size = img - 2 * crop
-    for g_idx in range(origins_g.shape[0]):
-        origins = origins_g[g_idx]
-        weights = weights_g[g_idx]
-        patches = np.stack([_host_patch(field, o, seq, img)
-                            for o in origins])
-        normalized = (patches - mean) / std
-        preds = np.asarray(jax.device_get(apply_group(
-            g_vars, jnp.asarray(normalized), key, g_idx)))
-        preds = preds * weights[:, None, None, None, None]
-        for i in range(icfg.group_size):
-            if not weights[i]:
-                continue
-            sx, sy, k = (int(v) for v in origins[i])
-            canvas[k * seq:(k + 1) * seq, sy + crop:sy + crop + size,
-                   sx + crop:sx + crop + size] += preds[i]
-    out = np.where(counts > 0, canvas / np.maximum(counts, 1.0), np.nan)
-    return out, plan
+
+    def stream_one(member_key):
+        canvas = np.zeros((t_total, h, w_pix, mcfg.out_channels), np.float32)
+        for g_idx in range(origins_g.shape[0]):
+            origins = origins_g[g_idx]
+            weights = weights_g[g_idx]
+            patches = np.stack([_host_patch(field, o, seq, img)
+                                for o in origins])
+            normalized = (patches - mean) / std
+            preds = np.asarray(jax.device_get(apply_group(
+                g_vars, jnp.asarray(normalized), member_key, g_idx)))
+            preds = preds * weights[:, None, None, None, None]
+            for i in range(icfg.group_size):
+                if not weights[i]:
+                    continue
+                sx, sy, k = (int(v) for v in origins[i])
+                t0 = _clamped_start(k * seq, seq, t_total)
+                y0 = _clamped_start(sy, img, h) + crop
+                x0 = _clamped_start(sx, img, w_pix) + crop
+                canvas[t0:t0 + seq, y0:y0 + size, x0:x0 + size] += preds[i]
+        return np.where(counts > 0, canvas / np.maximum(counts, 1.0),
+                        np.nan)
+
+    if ensemble_keys is not None:
+        return np.stack([stream_one(k) for k in ensemble_keys]), plan
+    key = key if key is not None else jax.random.key(0)
+    return stream_one(key), plan
