@@ -76,6 +76,33 @@ class TestStreamingEngine:
         m = ~np.isnan(a)
         np.testing.assert_allclose(a[m], b[m], atol=2e-3, rtol=1e-3)
 
+    def test_out_of_bounds_plan_matches_engine(self):
+        """Seam identity for caller-supplied plans whose covered window
+        exceeds the field (h - img < sy <= h - img + crop): the streamed
+        stitch must clamp the CROPPED update start the way XLA's
+        dynamic_update_slice does (clamp(sy + crop, h - size)), not clamp
+        the patch start and add crop — those differ in this range."""
+        from windtpu.infer.tiling import TilingPlan
+
+        t, h, w = 4, 48, 48
+        img, crop = TINY_M.image_size, TINY_I.border_crop
+        assert h - img < 17 <= h - img + crop
+        plan = TilingPlan(
+            image_size=img, sequence_length=TINY_I.sequence_length,
+            pixels_lat=h, pixels_lon=w, time_window=t,
+            starts_x=(0, 16), starts_y=(0, 17), num_time_chunks=1)
+        g_vars = init_generator(TINY_M, jax.random.key(0))
+        field = _field(t=t, h=h, w=w, seed=9)
+        key = jax.random.key(13)
+        on_device, _ = downscale_field(g_vars, field, TINY_M, TINY_I,
+                                       key=key, plan=plan)
+        streamed, _ = downscale_field_streaming(g_vars, field, TINY_M,
+                                                TINY_I, key=key, plan=plan)
+        a, b = np.asarray(on_device), np.asarray(streamed)
+        np.testing.assert_array_equal(np.isnan(a), np.isnan(b))
+        m = ~np.isnan(a)
+        np.testing.assert_allclose(a[m], b[m], atol=2e-3, rtol=1e-3)
+
     def test_device_memory_is_domain_independent(self):
         """The streamed path only ever puts one patch group on device:
         a domain 4x larger must not change the jitted program (cache

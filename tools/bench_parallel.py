@@ -12,8 +12,13 @@ scaling.
 
 Prints ONE JSON line:
 
-  {"dp_efficiency": t_single/t_sharded at the same global batch,
-   "tile_efficiency": t_single/t_tiled for the same domain,
+  {"dp_efficiency": median over interleaved rounds of t_single/t_sharded
+                    at the same global batch,
+   "dp_spread": (max-min)/median of those per-round ratios — > ~0.2
+                means the host was contended and the ratio is noise,
+   "tile_efficiency"/"tile_spread": same for t_single/t_tiled inference,
+   "times_ms": median per-mode wall times (train_single, train_dp,
+               infer_single, infer_tiled),
    "tile_parallel_matches": max|tiled - single| <= 1e-5,
    "n_devices": N, "platform": "cpu"|"tpu"}
 
@@ -33,17 +38,52 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _measure(fn, sync, repeats=5):
-    fn()          # compile
-    sync()
+def _time_once(fn, sync, inner=3):
+    """Best-of-``inner`` wall time for one measurement sample.
+
+    min() within a sample suppresses per-call jitter (queue scheduling,
+    GC); drift across samples is handled by _paired_ratio's interleaving
+    instead, so ``inner`` stays small."""
     best = None
-    for _ in range(repeats):
+    for _ in range(inner):
         t0 = time.perf_counter()
         fn()
         sync()
         dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)
     return best
+
+
+def _paired_ratio(fn_a, sync_a, fn_b, sync_b, rounds=5):
+    """median and spread of t_a/t_b over interleaved A/B rounds.
+
+    The r03 bench shipped a red tile_efficiency (0.694 vs r02's 0.915)
+    measured best-of-5 with the two sides timed back-to-back while a
+    trainer was burning the same host CPUs — a load change between the
+    two blocks skews the ratio arbitrarily.  Interleaving A and B within
+    each round makes every ratio sample see the same machine state, and
+    the median across rounds discards the outlier rounds that best-of-N
+    kept.  Returns (ratio_median, ratio_spread, t_a_median, t_b_median);
+    spread = (max - min) / median of the per-round ratios — > ~0.2 means
+    the host was noisy and the number should not be trusted as a layout
+    diagnostic."""
+    fn_a()
+    sync_a()  # compile A
+    fn_b()
+    sync_b()  # compile B
+    ratios, tas, tbs = [], [], []
+    for _ in range(rounds):
+        ta = _time_once(fn_a, sync_a)
+        tb = _time_once(fn_b, sync_b)
+        ratios.append(ta / tb)
+        tas.append(ta)
+        tbs.append(tb)
+    ratios.sort()
+    med = ratios[len(ratios) // 2]
+    spread = (ratios[-1] - ratios[0]) / med if med else None
+    tas.sort()
+    tbs.sort()
+    return med, spread, tas[len(tas) // 2], tbs[len(tbs) // 2]
 
 
 def run_bench():
@@ -91,11 +131,9 @@ def run_bench():
         # the step donates its state argument: always pass the latest
         holder["s1"], holder["m1"] = step_fn(holder["s1"], lr1, hr1, key1)
 
-    t_single = _measure(run_single,
-                        lambda: float(jax.device_get(
-                            holder["m1"]["g_loss"])))
+    sync_single = lambda: float(jax.device_get(holder["m1"]["g_loss"]))  # noqa: E731
 
-    dp_eff = None
+    dp_eff = dp_spread = t_single = t_sharded = None
     if n > 1:
         mesh = make_mesh({"data": n})
         holder["sn"] = replicate(mesh, create_train_state(cfg))
@@ -106,10 +144,10 @@ def run_bench():
             holder["sn"], holder["mn"] = step_fn(holder["sn"], lrn, hrn,
                                                  keyn)
 
-        t_sharded = _measure(run_sharded,
-                             lambda: float(jax.device_get(
-                                 holder["mn"]["g_loss"])))
-        dp_eff = t_single / t_sharded
+        dp_eff, dp_spread, t_single, t_sharded = _paired_ratio(
+            run_single, sync_single,
+            run_sharded,
+            lambda: float(jax.device_get(holder["mn"]["g_loss"])))
 
     # -- tile-parallel inference -------------------------------------------
     icfg = InferenceConfig(sequence_length=2, image_size=24,
@@ -125,11 +163,10 @@ def run_bench():
     def run_ps():
         holder["p1"], _ = pred_single(g_vars, field, jax.random.key(1))
 
-    t_inf_single = _measure(
-        run_ps, lambda: float(jax.device_get(
-            holder["p1"][0, h // 2, w // 2, 0])))
+    sync_ps = lambda: float(jax.device_get(  # noqa: E731
+        holder["p1"][0, h // 2, w // 2, 0]))
 
-    tile_eff = None
+    tile_eff = tile_spread = t_inf_single = t_inf_tiled = None
     tile_match = None
     if n > 1:
         mesh = make_mesh({"data": n})
@@ -139,18 +176,28 @@ def run_bench():
         def run_pt():
             holder["pt"], _ = pred_tiled(g_rep, field, jax.random.key(1))
 
-        t_inf_tiled = _measure(
+        tile_eff, tile_spread, t_inf_single, t_inf_tiled = _paired_ratio(
+            run_ps, sync_ps,
             run_pt, lambda: float(jax.device_get(
                 holder["pt"][0, h // 2, w // 2, 0])))
-        tile_eff = t_inf_single / t_inf_tiled
         a = np.asarray(jax.device_get(holder["pt"]))
         b = np.asarray(jax.device_get(holder["p1"]))
         valid = ~np.isnan(a)
         tile_match = bool(np.allclose(a[valid], b[valid], atol=1e-5))
 
+    def _ms(t):
+        return round(1e3 * t, 2) if t else None
+
     return {
         "dp_efficiency": round(dp_eff, 3) if dp_eff else None,
+        "dp_spread": round(dp_spread, 3) if dp_spread is not None else None,
         "tile_efficiency": round(tile_eff, 3) if tile_eff else None,
+        "tile_spread": (round(tile_spread, 3)
+                        if tile_spread is not None else None),
+        "times_ms": {"train_single": _ms(t_single),
+                     "train_dp": _ms(t_sharded),
+                     "infer_single": _ms(t_inf_single),
+                     "infer_tiled": _ms(t_inf_tiled)},
         "tile_parallel_matches": tile_match,
         "n_devices": n,
         "platform": jax.default_backend(),

@@ -86,8 +86,10 @@ def main() -> None:
     while edge <= args.max_edge:
         dt = _try_monolithic(edge, args.t, mcfg, icfg, g_vars)
         results[edge] = dt
+        # km²/s = domain area per wall second for the full T-hour cube —
+        # the SAME definition as bench.py's inference_km2_per_sec.
         print(f"  edge={edge}: " +
-              (f"{dt:.2f}s ({args.t * edge * edge / dt / 1e6:.2f} M km²/s)"
+              (f"{dt:.2f}s ({edge * edge / dt / 1e6:.2f} M km²/s)"
                if dt else "OOM"))
         if dt is None:
             hi = edge
@@ -133,7 +135,7 @@ def main() -> None:
     out, _ = downscale_field_streaming(g_vars, field, mcfg, icfg,
                                        key=jax.random.key(1))
     s_dt = time.perf_counter() - t0
-    s_rate = args.t * s_edge * s_edge / s_dt / 1e6
+    s_rate = s_edge * s_edge / s_dt / 1e6   # domain area / s, as bench.py
     print(f"streaming {s_edge}x{s_edge} @ T={args.t}: {s_dt:.1f}s "
           f"({s_rate:.2f} M km²/s)")
 

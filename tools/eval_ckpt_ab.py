@@ -10,7 +10,16 @@ candidate, and three complementary figures per checkpoint:
 * hp-ratio  — high-pass energy of the fake over the truth (1.0 = matches
   the ground-truth fine-scale energy; >1 overshoots, <1 is blurry);
 * lsd       — log-spectral distance to the truth field (dB);
-* ws-rmse   — wind-speed RMSE against the truth.
+* ws-rmse   — wind-speed RMSE against the truth;
+* acd       — angular cosine distance of the (u, v) vectors, in [0, 1]
+  (0 = perfectly aligned wind directions; reference gan/metrics.py:94-101);
+* ks        — mean spatially-convolved Kolmogorov-Smirnov statistic
+  between real and fake patch distributions, in [0, 1] (0 = identical
+  local distributions; reference gan/metrics.py:155-187).
+
+Together these cover the reference's own metric axes (BASELINE gate:
+"RMSE / spectra statistically matching" plus the ACD and spatial-KS
+columns of gan/metrics.py) — VERDICT r3 item 6.
 
 Usage: python tools/eval_ckpt_ab.py ckpt_a.npz [ckpt_b.npz ...]
        [--seed 4242] [--batches 4] [--batch 8]
@@ -48,6 +57,13 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     import jax
+
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        # The env var alone does NOT stop the axon TPU plugin from
+        # connecting the (single-client) tunnel — a second client wedges
+        # any live trainer AND itself (utils/hostcpu.py docstring).  The
+        # config.update before first backend use is what actually works.
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from windtpu.utils.compilecache import enable_persistent_cache
@@ -66,17 +82,26 @@ def main(argv=None):
                                    batch=args.batch, patch=args.patch,
                                    seq=args.seq)
 
+    from windtpu.metrics.metrics import (angular_cosine_distance,
+                                         spatially_convolved_ks_stat)
+
     gen = Generator(mcfg)
     fwd = jax.jit(lambda v, x, n: gen.apply(v, x, n, train=False))
+    acd_fn = jax.jit(lambda r, f: jnp.mean(angular_cosine_distance(r, f)))
+    ks_fn = jax.jit(lambda r, f: jnp.mean(
+        spatially_convolved_ks_stat(r, f, lo=-10.0, hi=10.0)))
     template = jax.device_get(init_generator(mcfg, jax.random.key(0)))
 
     for path in args.checkpoints:
         v = load_generator_npz(path, template)
         hp_f, hp_t, ratios, lsds, rmses = [], [], [], [], []
+        acds, kss = [], []
         for i, (low, high) in enumerate(batches):
             noise = 0.1 * jax.random.normal(
                 jax.random.key(100 + i), low.shape[:-1] + (20,))
-            fake = np.asarray(fwd(v, jnp.asarray(low), noise))
+            high_j = jnp.asarray(high)
+            fake_j = fwd(v, jnp.asarray(low), noise)
+            fake = np.asarray(fake_j)
             hp_f.append(highpass_energy(fake[..., 0]))
             hp_t.append(highpass_energy(high[..., 0]))
             ratios.append(hp_f[-1] / max(hp_t[-1], 1e-9))
@@ -84,6 +109,11 @@ def main(argv=None):
             rmses.append(float(np.sqrt(np.mean(
                 (np.hypot(fake[..., 0], fake[..., 1])
                  - np.hypot(high[..., 0], high[..., 1])) ** 2))))
+            # The synthetic wind fields live in roughly [-15, 15] m/s, so
+            # the KS threshold grid is [-10, 10] (the reference's [-30,
+            # 30] spreads 100 points over a range mostly empty here).
+            acds.append(float(acd_fn(high_j, fake_j)))
+            kss.append(float(ks_fn(high_j, fake_j)))
         # Headline sharpness is the energy-POOLED ratio: truth fine-scale
         # energy scales ~flow^2, so a near-calm day has a near-zero
         # denominator and one such batch dominates a mean of per-batch
@@ -93,7 +123,8 @@ def main(argv=None):
         pooled = sum(hp_f) / max(sum(hp_t), 1e-9)
         print(f"{path}: hp-pooled={pooled:.3f} "
               f"hp-ratio/day=[{min(ratios):.2f}..{max(ratios):.2f}] "
-              f"lsd={np.mean(lsds):.2f}dB ws-rmse={np.mean(rmses):.3f}")
+              f"lsd={np.mean(lsds):.2f}dB ws-rmse={np.mean(rmses):.3f} "
+              f"acd={np.mean(acds):.4f} ks={np.mean(kss):.4f}")
 
 
 if __name__ == "__main__":

@@ -171,8 +171,13 @@ def downscale_field_streaming(
                     continue
                 sx, sy, k = (int(v) for v in origins[i])
                 t0 = _clamped_start(k * seq, seq, t_total)
-                y0 = _clamped_start(sy, img, h) + crop
-                x0 = _clamped_start(sx, img, w_pix) + crop
+                # Stitch starts clamp exactly as the engine's
+                # dynamic_update_slice does: the CROPPED update (size =
+                # img - 2*crop) is clamped against the canvas, which for
+                # h - img < sy <= h - img + crop differs from clamping
+                # the patch start and then adding crop.
+                y0 = _clamped_start(sy + crop, size, h)
+                x0 = _clamped_start(sx + crop, size, w_pix)
                 canvas[t0:t0 + seq, y0:y0 + size, x0:x0 + size] += preds[i]
         return np.where(counts > 0, canvas / np.maximum(counts, 1.0),
                         np.nan)
