@@ -54,7 +54,7 @@ def _time_once(fn, sync, inner=3):
     return best
 
 
-def _paired_ratio(fn_a, sync_a, fn_b, sync_b, rounds=5):
+def _paired_ratio(fn_a, sync_a, fn_b, sync_b, rounds=7):
     """median and spread of t_a/t_b over interleaved A/B rounds.
 
     The r03 bench shipped a red tile_efficiency (0.694 vs r02's 0.915)
@@ -150,10 +150,15 @@ def run_bench():
             lambda: float(jax.device_get(holder["mn"]["g_loss"])))
 
     # -- tile-parallel inference -------------------------------------------
+    # Domain sized so one tiled-predict call costs >~100 ms on the 8-way
+    # virtual CPU mesh: at 96x128 a call was ~25 ms and OS scheduling
+    # noise alone moved the single/tiled ratio +-10% run to run; 4x the
+    # patches pushes the compute above the jitter floor (the ratio is a
+    # sharding-overhead canary — it must be stable to ~5% to be one).
     icfg = InferenceConfig(sequence_length=2, image_size=24,
                            noise_channels=2, group_size=4,
                            overlap_factor=0.1)
-    t, h, w = 2, 96, 128
+    t, h, w = 2, 192, 256
     plan = plan_tiling(h, w, t, icfg.image_size, icfg.sequence_length,
                        icfg.overlap_factor)
     g_vars = init_generator(m, jax.random.key(0))
