@@ -66,16 +66,23 @@ def highpass_energy_ratio_loss(fake: jax.Array, truth: jax.Array,
     directly and PER SAMPLE — each day in the batch must carry the right
     fine-scale energy, not just the batch on average:
 
-        E_b[ ( log hp(fake_b) - log hp(truth_b) )^2 ]
+        E_{b,c}[ ( log hp(fake_bc) - log hp(truth_bc) )^2 ]
 
     where hp(x) is the mean squared residual of a Gaussian blur at
     ``sigma`` (the same cutoff the data pipeline blurs with, so "what
-    blurring removed" is exactly the band being matched).  Computed with
-    an FFT transfer function over (H, W) — differentiable, fp32, and a
-    rounding error of the step cost next to the critic passes.  No
-    reference counterpart: the reference has no sharpness objective at
-    all (its generator loss is adversarial + optional perceptual
-    reconstruction, gan/train.py:29-31).
+    blurring removed" is exactly the band being matched).  The ratio is
+    PER CHANNEL as well as per sample: a day whose flow blows along v
+    has an almost texture-free u-truth (the slope-locked gusts project
+    with cos(angle) ~ 0 onto u), and a channel-pooled loss lets the
+    generator paint isotropic texture that overshoots the quiet channel
+    ~4x (the measured seed-4242 worst-day tail: mean flow 3.3 m/s but
+    u-channel hp_truth 0.01 vs 0.10 for its calm batch).  Per-channel
+    log-ratios force the texture amplitude to track each component's
+    actual energy.  Computed with an FFT transfer function over (H, W) —
+    differentiable, fp32, and a rounding error of the step cost next to
+    the critic passes.  No reference counterpart: the reference has no
+    sharpness objective at all (its generator loss is adversarial +
+    optional perceptual reconstruction, gan/train.py:29-31).
     """
     def hp_energy(x):
         x = x.astype(jnp.float32)
@@ -86,7 +93,7 @@ def highpass_energy_ratio_loss(fake: jax.Array, truth: jax.Array,
         spec = jnp.fft.rfft2(x, axes=(2, 3))
         blurred = jnp.fft.irfft2(spec * g[None, None, :, :, None],
                                  s=(h, w), axes=(2, 3))
-        return jnp.mean((x - blurred) ** 2, axis=(1, 2, 3, 4))
+        return jnp.mean((x - blurred) ** 2, axis=(1, 2, 3))   # (B, C)
 
     log_ratio = (jnp.log(hp_energy(fake) + eps)
                  - jnp.log(hp_energy(truth) + eps))
