@@ -15,13 +15,18 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-def _try_monolithic(edge: int, t: int, mcfg, icfg, g_vars) -> float | None:
-    """Seconds for one stitched domain, or None if it does not fit."""
+
+def _try_monolithic(edge: int, t: int, mcfg, icfg, g_vars):
+    """(seconds, None) for one stitched domain, or (None, reason) if it
+    does not fit."""
     import jax
 
     from windtpu.infer.engine import make_tiled_predictor
@@ -32,7 +37,10 @@ def _try_monolithic(edge: int, t: int, mcfg, icfg, g_vars) -> float | None:
                            icfg.sequence_length, icfg.overlap_factor)
         rng = np.random.RandomState(0)
         field = rng.standard_normal((t, edge, edge, mcfg.in_channels))
-        field = field.astype(np.float32)
+        # Device-put once so the timed pass measures the engine, not the
+        # host link (bench.py's inference_km2_per_sec does the same).
+        field = jax.device_put(field.astype(np.float32))
+        jax.block_until_ready(field)
         predictor = make_tiled_predictor(mcfg, icfg, plan)
         key = jax.random.key(0)
         pred, _ = predictor(g_vars, field, key)   # compile + run
@@ -41,14 +49,21 @@ def _try_monolithic(edge: int, t: int, mcfg, icfg, g_vars) -> float | None:
         pred, _ = predictor(g_vars, field, key)
         jax.block_until_ready(pred)
         dt = time.perf_counter() - t0
-        del pred
-        return dt
+        del pred, field
+        return dt, None
     except Exception as e:  # XlaRuntimeError RESOURCE_EXHAUSTED, etc.
         msg = f"{type(e).__name__}: {e}"
-        if "RESOURCE_EXHAUSTED" not in msg and "memory" not in msg.lower():
+        if not ("RESOURCE_EXHAUSTED" in msg or "HTTP 413" in msg
+                or "memory" in msg.lower()):
             raise
-        print(f"  edge={edge}: OOM ({msg.splitlines()[0][:120]})")
-        return None
+        # HTTP 413 = the axon tunnel's remote-compile/transfer payload
+        # cap, a harness transport limit, not chip HBM; recorded as its
+        # own fail reason so the JSON distinguishes "chip full" from
+        # "tunnel refused the payload" (a local chip would probe further).
+        reason = ("tunnel_payload_limit" if "HTTP 413" in msg else "oom")
+        print(f"  edge={edge}: DOES NOT FIT [{reason}] "
+              f"({msg.splitlines()[0][:120]})")
+        return None, reason
 
 
 def main() -> None:
@@ -83,14 +98,17 @@ def main() -> None:
     lo, hi = None, None          # lo = largest edge PROVEN to fit
     edge = args.min_edge
     results = {}
+    fail_reasons = {}
     while edge <= args.max_edge:
-        dt = _try_monolithic(edge, args.t, mcfg, icfg, g_vars)
+        dt, why = _try_monolithic(edge, args.t, mcfg, icfg, g_vars)
         results[edge] = dt
+        if why:
+            fail_reasons[edge] = why
         # km²/s = domain area per wall second for the full T-hour cube —
         # the SAME definition as bench.py's inference_km2_per_sec.
         print(f"  edge={edge}: " +
               (f"{dt:.2f}s ({edge * edge / dt / 1e6:.2f} M km²/s)"
-               if dt else "OOM"))
+               if dt else why))
         if dt is None:
             hi = edge
             break
@@ -109,9 +127,11 @@ def main() -> None:
             mid = ((lo + hi) // 2) // 96 * 96
             if mid in (lo, hi):
                 break
-            dt = _try_monolithic(mid, args.t, mcfg, icfg, g_vars)
+            dt, why = _try_monolithic(mid, args.t, mcfg, icfg, g_vars)
             results[mid] = dt
-            print(f"  edge={mid}: " + (f"{dt:.2f}s" if dt else "OOM"))
+            if why:
+                fail_reasons[mid] = why
+            print(f"  edge={mid}: " + (f"{dt:.2f}s" if dt else why))
             if dt is None:
                 hi = mid
             else:
@@ -123,6 +143,24 @@ def main() -> None:
                                           mcfg.out_channels)
         print(f"monolithic ceiling: {lo}x{lo} @ T={args.t} "
               f"(domain tensors ~{ceiling_bytes / 2**30:.2f} GiB)")
+
+    payload = {
+        "device": dev.device_kind,
+        "t": args.t,
+        "monolithic_max_edge": lo,   # None = nothing probed ever fit
+        "monolithic_fail_edge": hi if results.get(hi, 0) is None else None,
+        "fail_reasons": {str(k): v for k, v in fail_reasons.items()},
+        "monolithic_domain_tensor_gib":
+            round(ceiling_bytes / 2**30, 3) if ceiling_bytes else None,
+        "probe_times_s": {str(k): round(v, 2) if v else v
+                          for k, v in results.items()},
+    }
+    # Persist the monolithic search NOW: the streaming leg below moves
+    # gigabytes over the host link and can outlive a harness timeout —
+    # that must not lose the ceiling measurement.
+    with open(args.out, "w") as f:
+        json.dump(payload, f, indent=1)
+    print(f"wrote {args.out} (monolithic search)")
 
     # Streaming past the ceiling: 1.5x the failing edge.
     from windtpu.infer.streaming import downscale_field_streaming
@@ -139,18 +177,9 @@ def main() -> None:
     print(f"streaming {s_edge}x{s_edge} @ T={args.t}: {s_dt:.1f}s "
           f"({s_rate:.2f} M km²/s)")
 
-    payload = {
-        "device": dev.device_kind,
-        "t": args.t,
-        "monolithic_max_edge": lo,   # None = nothing probed ever fit
-        "monolithic_fail_edge": hi if results.get(hi, 0) is None else None,
-        "monolithic_domain_tensor_gib":
-            round(ceiling_bytes / 2**30, 3) if ceiling_bytes else None,
-        "probe_times_s": {str(k): v for k, v in results.items()},
-        "streaming_edge": s_edge,
-        "streaming_s": round(s_dt, 2),
-        "streaming_mkm2_per_s": round(s_rate, 3),
-    }
+    payload["streaming_edge"] = s_edge
+    payload["streaming_s"] = round(s_dt, 2)
+    payload["streaming_mkm2_per_s"] = round(s_rate, 3)
     with open(args.out, "w") as f:
         json.dump(payload, f, indent=1)
     print(f"wrote {args.out}")

@@ -113,17 +113,22 @@ def _build_predict(
     plan: TilingPlan,
     apply_fn=None,
     psum_axis: Optional[str] = None,
-    counts_np: Optional[np.ndarray] = None,
 ):
-    """Core (g_vars, field, key, origins_g, weights_g) -> (pred, counts).
+    """Core (g_vars, field, key, origins_g, weights_g, counts) ->
+    (pred, counts).
 
     ``origins_g``/``weights_g`` are traced arguments so callers can shard
     them over a mesh axis; with ``psum_axis`` set, normalization-stat
     accumulators and the final canvas are psum'ed across it (global
-    statistics + cross-shard overlap mean — seam-free).  ``counts_np``
-    is the static GLOBAL coverage map from :func:`_coverage_counts`
-    (computed from the unsharded origin list even when the traced
-    origins are a per-device shard).
+    statistics + cross-shard overlap mean — seam-free).  ``counts`` is
+    the GLOBAL coverage map from :func:`_coverage_counts` (computed from
+    the unsharded origin list even when the traced origins are a
+    per-device shard).  It is a traced ARGUMENT, not a closed-over
+    constant: baked in, a (T, H, W, 1) fp32 literal grows the compiled
+    program linearly with the domain (400 MB of HLO at a 2048² T=24
+    domain — measured to overflow the remote-compile transport before
+    HBM was anywhere near full), while as an argument the program size
+    is domain-independent and the map is transferred once at build time.
     """
     img = plan.image_size
     seq = plan.sequence_length
@@ -180,25 +185,23 @@ def _build_predict(
         var = jnp.maximum(s2 / jnp.maximum(n, 1.0) - mean**2, 0.0)
         return mean, jnp.sqrt(var)
 
-    def predict(g_vars, field, key, origins_g, weights_g):
+    def predict(g_vars, field, key, origins_g, weights_g, counts):
         t_total, h, w_pix, _ = field.shape
         mean, std = stats_pass(field, origins_g, weights_g)
         std = jnp.where(std == 0, 1.0, std)
 
         canvas = jnp.zeros((t_total, h, w_pix, mcfg.out_channels))
-        # Coverage is plan-determined, not data-dependent: use the static
-        # host-computed map (padded/trimmed to this field's time length —
-        # patches never extend past the plan's covered window anyway).
-        assert counts_np is not None, "builders must pass _coverage_counts"
-        counts_host = counts_np
-        if counts_host.shape[0] < t_total:
-            counts_host = np.concatenate(
-                [counts_host,
-                 np.zeros((t_total - counts_host.shape[0],)
-                          + counts_host.shape[1:], np.float32)], axis=0)
-        elif counts_host.shape[0] > t_total:
-            counts_host = counts_host[:t_total]
-        counts = jnp.asarray(counts_host)
+        # Coverage is plan-determined, not data-dependent; pad/trim it to
+        # this field's time length (patches never extend past the plan's
+        # covered window anyway).  Shapes are static under jit, so this
+        # costs a slice or a concat-with-zeros, not a recompile knob.
+        if counts.shape[0] < t_total:
+            counts = jnp.concatenate(
+                [counts,
+                 jnp.zeros((t_total - counts.shape[0],) + counts.shape[1:],
+                           counts.dtype)], axis=0)
+        elif counts.shape[0] > t_total:
+            counts = counts[:t_total]
 
         def group_body(canvas, inp):
             g_idx, origins, w = inp
@@ -285,13 +288,14 @@ def _build_tiled_predictor(mcfg, icfg, plan, apply_fn):
     origins_np, weights_np = _grouped_origins(plan, icfg.group_size)
     counts_np = _coverage_counts(plan, origins_np, weights_np,
                                  icfg.border_crop)
-    predict = _build_predict(mcfg, icfg, plan, apply_fn, counts_np=counts_np)
+    predict = _build_predict(mcfg, icfg, plan, apply_fn)
     origins_g = jnp.asarray(origins_np)
     weights_g = jnp.asarray(weights_np)
+    counts_g = jnp.asarray(counts_np)
 
     @jax.jit
     def run(g_vars, field, key):
-        return predict(g_vars, field, key, origins_g, weights_g)
+        return predict(g_vars, field, key, origins_g, weights_g, counts_g)
 
     return run
 
@@ -340,12 +344,11 @@ def _build_tile_parallel_predictor(mcfg, icfg, plan, mesh, axis, apply_fn):
     # (like the psum'ed canvas) is a whole-domain quantity.
     counts_np = _coverage_counts(plan, origins_g, weights_g,
                                  icfg.border_crop)
-    predict = _build_predict(mcfg, icfg, plan, apply_fn, psum_axis=axis,
-                             counts_np=counts_np)
+    predict = _build_predict(mcfg, icfg, plan, apply_fn, psum_axis=axis)
 
     body = shard_map(
         predict, mesh=mesh,
-        in_specs=(P(), P(), P(), P(axis), P(axis)),
+        in_specs=(P(), P(), P(), P(axis), P(axis), P()),
         out_specs=(P(), P()),
         check_vma=False,
     )
@@ -353,10 +356,12 @@ def _build_tile_parallel_predictor(mcfg, icfg, plan, mesh, axis, apply_fn):
         origins_g, NamedSharding(mesh, P(axis)))
     weights_sh = jax.device_put(
         weights_g, NamedSharding(mesh, P(axis)))
+    counts_sh = jax.device_put(
+        jnp.asarray(counts_np), NamedSharding(mesh, P()))
 
     @jax.jit
     def run(g_vars, field, key):
-        return body(g_vars, field, key, origins_sh, weights_sh)
+        return body(g_vars, field, key, origins_sh, weights_sh, counts_sh)
 
     return run
 
@@ -412,29 +417,32 @@ def _build_ens_tile_predictor(mcfg, icfg, plan, mesh, tile_axis,
     counts_np = _coverage_counts(plan, origins_g, weights_g,
                                  icfg.border_crop)
     predict = _build_predict(mcfg, icfg, plan, apply_fn,
-                             psum_axis=tile_axis, counts_np=counts_np)
+                             psum_axis=tile_axis)
 
-    def member_body(g_vars, field, keys, origins, weights):
+    def member_body(g_vars, field, keys, origins, weights, counts_in):
         # keys: this ensemble group's (M_local,) shard; each member runs
         # the tile-sharded predict (psum over tile_axis inside).
         preds, counts = jax.vmap(
-            predict, in_axes=(None, None, 0, None, None))(
-                g_vars, field, keys, origins, weights)
+            predict, in_axes=(None, None, 0, None, None, None))(
+                g_vars, field, keys, origins, weights, counts_in)
         # Coverage is plan-determined and member-independent.
         return preds, counts[0]
 
     body = shard_map(
         member_body, mesh=mesh,
-        in_specs=(P(), P(), P(ensemble_axis), P(tile_axis), P(tile_axis)),
+        in_specs=(P(), P(), P(ensemble_axis), P(tile_axis), P(tile_axis),
+                  P()),
         out_specs=(P(ensemble_axis), P()),
         check_vma=False,
     )
     origins_sh = jax.device_put(origins_g, NamedSharding(mesh, P(tile_axis)))
     weights_sh = jax.device_put(weights_g, NamedSharding(mesh, P(tile_axis)))
+    counts_sh = jax.device_put(
+        jnp.asarray(counts_np), NamedSharding(mesh, P()))
 
     @jax.jit
     def run(g_vars, field, keys):
-        return body(g_vars, field, keys, origins_sh, weights_sh)
+        return body(g_vars, field, keys, origins_sh, weights_sh, counts_sh)
 
     return run
 
