@@ -43,11 +43,19 @@ def _try_monolithic(edge: int, t: int, mcfg, icfg, g_vars):
         jax.block_until_ready(field)
         predictor = make_tiled_predictor(mcfg, icfg, plan)
         key = jax.random.key(0)
+
+        def sync(x):
+            # block_until_ready does NOT wait on the axon remote
+            # platform (returns at dispatch); fetching one element is
+            # the real barrier — and it also surfaces async OOMs that
+            # would otherwise let a too-big domain "succeed".
+            return float(jax.device_get(x[0, edge // 2, edge // 2, 0]))
+
         pred, _ = predictor(g_vars, field, key)   # compile + run
-        jax.block_until_ready(pred)
+        sync(pred)
         t0 = time.perf_counter()
         pred, _ = predictor(g_vars, field, key)
-        jax.block_until_ready(pred)
+        sync(pred)
         dt = time.perf_counter() - t0
         del pred, field
         return dt, None

@@ -293,9 +293,15 @@ def _build_tiled_predictor(mcfg, icfg, plan, apply_fn):
     weights_g = jnp.asarray(weights_np)
     counts_g = jnp.asarray(counts_np)
 
-    @jax.jit
+    # The plan tensors must reach the jitted program as ARGUMENTS.
+    # Closed-over arrays (numpy or device) become jaxpr consts that are
+    # serialized with the program — measured 413-overflowing the remote
+    # compile transport at a 2048² T=24 domain's 400 MB coverage map.
+    predict_jit = jax.jit(predict)
+
     def run(g_vars, field, key):
-        return predict(g_vars, field, key, origins_g, weights_g, counts_g)
+        return predict_jit(g_vars, field, key, origins_g, weights_g,
+                           counts_g)
 
     return run
 
@@ -359,9 +365,13 @@ def _build_tile_parallel_predictor(mcfg, icfg, plan, mesh, axis, apply_fn):
     counts_sh = jax.device_put(
         jnp.asarray(counts_np), NamedSharding(mesh, P()))
 
-    @jax.jit
+    # Arguments, not closures: see make_tiled_predictor — closed-over
+    # arrays are serialized with the program.
+    body_jit = jax.jit(body)
+
     def run(g_vars, field, key):
-        return body(g_vars, field, key, origins_sh, weights_sh, counts_sh)
+        return body_jit(g_vars, field, key, origins_sh, weights_sh,
+                        counts_sh)
 
     return run
 
@@ -440,9 +450,13 @@ def _build_ens_tile_predictor(mcfg, icfg, plan, mesh, tile_axis,
     counts_sh = jax.device_put(
         jnp.asarray(counts_np), NamedSharding(mesh, P()))
 
-    @jax.jit
+    # Arguments, not closures: see make_tiled_predictor — closed-over
+    # arrays are serialized with the program.
+    body_jit = jax.jit(body)
+
     def run(g_vars, field, keys):
-        return body(g_vars, field, keys, origins_sh, weights_sh, counts_sh)
+        return body_jit(g_vars, field, keys, origins_sh, weights_sh,
+                        counts_sh)
 
     return run
 
