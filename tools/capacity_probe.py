@@ -72,6 +72,14 @@ def _try_monolithic(edge: int, t: int, mcfg, icfg, g_vars):
         print(f"  edge={edge}: DOES NOT FIT [{reason}] "
               f"({msg.splitlines()[0][:120]})")
         return None, reason
+    finally:
+        # Every probed plan leaves its predictor (and its device-resident
+        # coverage map) in the engine's memo cache — seven probes pinned
+        # ~4 GiB and OOM'd the streaming leg.  Each attempt must leave
+        # the chip as it found it.
+        from windtpu.infer.engine import clear_predictor_caches
+
+        clear_predictor_caches()
 
 
 def main() -> None:

@@ -137,11 +137,16 @@ def _engine_hbm_bytes(t: int, h: int, w: int, in_ch: int,
 
 
 # Streaming kicks in when the monolithic engine's resident domain tensors
-# would exceed this many bytes.  Default 8 GB: half a v5e's 16 GB HBM,
-# leaving room for generator weights/activations and XLA scratch
-# (docs/CAPACITY.md records the measured ceiling).  Override with
-# WINDTPU_STREAMING_BYTES.
-_STREAMING_DEFAULT_BYTES = 8 << 30
+# would exceed this many bytes.  Default 3.2 GiB, set from the MEASURED
+# v5e ceiling (tools/capacity_probe.py -> docs/capacity_measured.json):
+# a 2048-square T=24 domain (estimate 3.00 GiB) stitches monolithically,
+# a 2208-square one (3.49 GiB) is RESOURCE_EXHAUSTED — XLA's working set
+# during the scan-carried scatter-add stitch multiplies the nominal
+# canvas bytes, so the naive "half of 16 GiB HBM" guess (the previous
+# 8 GiB default) admitted domains that in fact OOM.  3.2 GiB sits
+# between the largest proven-fit estimate and the smallest measured
+# failure.  Override with WINDTPU_STREAMING_BYTES.
+_STREAMING_DEFAULT_BYTES = (32 << 30) // 10
 
 
 def _streaming_threshold() -> int:

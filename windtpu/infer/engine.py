@@ -284,6 +284,22 @@ def _cached_tiled_predictor(mcfg, icfg, plan):
     return _build_tiled_predictor(mcfg, icfg, plan, None)
 
 
+def clear_predictor_caches() -> None:
+    """Drop all memoized predictors and their device-resident plan
+    tensors.
+
+    Each cached predictor closure holds its coverage map on device —
+    (T, H, W, 1) fp32, i.e. 400 MB for a 2048² T=24 domain — so cycling
+    through many large, differently-shaped domains in one process can
+    pin gigabytes of HBM invisibly (measured: the capacity probe's seven
+    cached plans held ~4 GiB, enough to OOM the O(group)-memory
+    streaming engine afterwards).  Call this between unrelated large
+    workloads; steady-shape production never needs it."""
+    _cached_tiled_predictor.cache_clear()
+    _cached_tile_parallel_predictor.cache_clear()
+    _cached_ens_tile_predictor.cache_clear()
+
+
 def _build_tiled_predictor(mcfg, icfg, plan, apply_fn):
     origins_np, weights_np = _grouped_origins(plan, icfg.group_size)
     counts_np = _coverage_counts(plan, origins_np, weights_np,
