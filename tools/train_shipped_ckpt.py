@@ -407,8 +407,30 @@ def main():
           flush=True)
     pool_low, pool_high = make_day_pool(rng, args.domains, args.days,
                                         args.seq, calm_frac=args.calm_frac)
+    # ALL host synthesis must finish before the first big tunnel
+    # transfer: dispatching the ~850 MB pool device_put and then running
+    # the holdout builder's CPU-pinned stencil convs while it is in
+    # flight wedged the axon link twice in a row (every thread futex-
+    # parked, zero CPU, no error — the known remote-link failure mode
+    # the watchdog exists for).  Holdout batches are built first, the
+    # pool transfer is dispatched after, and its completion is forced
+    # before training starts.
+    holdout_batches = None
+    if args.holdout_every:
+        print(f"building holdout batches (seed {args.holdout_seed})...",
+              flush=True)
+        holdout_batches = make_holdout_batches(
+            args.holdout_seed, batch=args.batch, patch=args.patch,
+            seq=args.seq, calm_batches=args.calm_eval_batches)
+    print("transferring day pool to device...", flush=True)
     pool_low = jax.device_put(pool_low)    # once: the only big transfers
     pool_high = jax.device_put(pool_high)
+    # Real barrier (block_until_ready returns at dispatch on axon):
+    # touch one element of each so a wedged transfer is caught HERE,
+    # inside the watchdog's stall window, not mid-training.
+    float(jax.device_get(pool_low[0, 0, 0, 0, 0]))
+    float(jax.device_get(pool_high[0, 0, 0, 0, 0]))
+    print("day pool resident on device", flush=True)
     sample = make_sampler(args.batch, args.patch)
 
     def save_all(tag=""):
@@ -430,11 +452,7 @@ def main():
         gen_sel = Generator(cfg.model)
         fwd_sel = jax.jit(
             lambda v, x, n: gen_sel.apply(v, x, n, train=False))
-        print(f"building holdout batches (seed {args.holdout_seed})...",
-              flush=True)
-        holdout = make_holdout_batches(
-            args.holdout_seed, batch=args.batch, patch=args.patch,
-            seq=args.seq, calm_batches=args.calm_eval_batches)
+        holdout = holdout_batches  # built above, before device traffic
         # Survive watchdog restarts: without a stored score, best_score
         # resets to inf on relaunch and the first post-restart eval
         # overwrites .best.npz even when it is worse than the stored one.
