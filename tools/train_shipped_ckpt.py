@@ -86,7 +86,7 @@ def make_domain(rng, ny=384, nx=384):
 
 
 def synth_day(rng, dem, slope, aspect, t=6, sigma=7.0,
-              speed_lo=3.0, speed_hi=10.0):
+              speed_lo=3.0, speed_hi=10.0, axis_aligned=False):
     """One day of (low_res, high_res) fields over the full domain.
 
     high_res u/v = synoptic flow * terrain exposure response + slope-locked
@@ -94,6 +94,16 @@ def synth_day(rng, dem, slope, aspect, t=6, sigma=7.0,
     ``speed_lo/speed_hi`` bound the base synoptic speed draw (the truth's
     fine-scale energy scales ~flow^2, so calm days are the hard regime —
     see ``make_day_pool(calm_frac=...)``).
+
+    ``axis_aligned``: pin the flow direction to a grid axis (±5°, small
+    drift).  The gusts project onto (cos angle, sin angle), so on such a
+    day ONE velocity component's truth is nearly texture-free — the
+    regime where an isotropic-texture generator overshoots that
+    channel's high-pass ratio 3-4x (the measured seed-4242 worst batch:
+    moderate flow along v, u-channel hp_truth 0.01).  Without
+    oversampling, only ~8% of uniform-angle days are this degenerate
+    and neither the sharpness loss nor checkpoint selection sees enough
+    of them to fix the tail.
     """
     from windtpu.preprocess.daily import compute_time_varying_topo_pred
 
@@ -102,8 +112,13 @@ def synth_day(rng, dem, slope, aspect, t=6, sigma=7.0,
     phase = rng.uniform(0, 2 * np.pi)
     speed = rng.uniform(speed_lo, speed_hi) + 2.0 * np.sin(
         np.linspace(0, 2 * np.pi, t) + phase)
-    angle = rng.uniform(0, 2 * np.pi) + 0.3 * np.sin(
-        np.linspace(0, 2 * np.pi, t) + rng.uniform(0, 2 * np.pi))
+    if axis_aligned:
+        angle = (rng.randint(4) * (np.pi / 2) + rng.uniform(-0.09, 0.09)
+                 + 0.05 * np.sin(np.linspace(0, 2 * np.pi, t)
+                                 + rng.uniform(0, 2 * np.pi)))
+    else:
+        angle = rng.uniform(0, 2 * np.pi) + 0.3 * np.sin(
+            np.linspace(0, 2 * np.pi, t) + rng.uniform(0, 2 * np.pi))
     u0 = (speed * np.cos(angle))[:, None, None].astype(np.float32)
     v0 = (speed * np.sin(angle))[:, None, None].astype(np.float32)
 
@@ -125,7 +140,8 @@ def synth_day(rng, dem, slope, aspect, t=6, sigma=7.0,
     return low, high
 
 
-def make_day_pool(rng, n_domains, days_per_domain, t, calm_frac=0.0):
+def make_day_pool(rng, n_domains, days_per_domain, t, calm_frac=0.0,
+                  axis_frac=0.0):
     """Pre-generate every training day as two stacked arrays.
 
     The whole pool is pushed to the device ONCE and random crops are taken
@@ -147,8 +163,16 @@ def make_day_pool(rng, n_domains, days_per_domain, t, calm_frac=0.0):
     for _ in range(n_domains):
         dem, slope, aspect = make_domain(rng)
         n_calm = int(round(calm_frac * days_per_domain))
+        n_axis = int(round(axis_frac * days_per_domain))
         for d in range(days_per_domain):
-            kw = dict(speed_lo=0.5, speed_hi=4.0) if d < n_calm else {}
+            kw = {}
+            if d < n_calm:
+                kw = dict(speed_lo=0.5, speed_hi=4.0)
+            elif d < n_calm + n_axis:
+                # ``axis_frac``: moderate-speed days with axis-pinned
+                # flow — the channel-degenerate texture regime (see
+                # synth_day) the worst-day tail lives in.
+                kw = dict(speed_lo=3.0, speed_hi=7.0, axis_aligned=True)
             lo, hi = synth_day(rng, dem, slope, aspect, t=t, **kw)
             lows.append(lo)
             highs.append(hi)
@@ -198,7 +222,7 @@ def log_spectral_distance(a, b):
 
 
 def make_holdout_batches(seed, n_batches=4, batch=8, patch=96, seq=6,
-                         calm_batches=1):
+                         calm_batches=1, axis_batches=0):
     """Fixed (low, high) eval batches on terrain the trainer never sees.
 
     The construction is THE protocol shared by tools/eval_ckpt_ab.py:
@@ -211,13 +235,24 @@ def make_holdout_batches(seed, n_batches=4, batch=8, patch=96, seq=6,
     Selection and final report use different seeds so picking the best
     checkpoint never overfits the terrain the A/B verdict is computed
     on.
+
+    ``axis_batches`` appends batches from axis-pinned moderate-flow days
+    (the channel-degenerate regime, see synth_day) AFTER the protocol
+    batches.  It defaults to 0 and the A/B protocol (eval_ckpt_ab, the
+    bundled-weights band test) never sets it — the appended batches
+    extend what in-training SELECTION can see without changing what the
+    final verdict is measured on.
     """
     rng = np.random.RandomState(seed)
     domains = [make_domain(rng) for _ in range(2)]
     batches = []
-    for b in range(n_batches + calm_batches):
+    for b in range(n_batches + calm_batches + axis_batches):
         dem, slope, aspect = domains[b % len(domains)]
-        kw = dict(speed_lo=0.5, speed_hi=2.5) if b >= n_batches else {}
+        kw = {}
+        if b >= n_batches + calm_batches:
+            kw = dict(speed_lo=3.0, speed_hi=7.0, axis_aligned=True)
+        elif b >= n_batches:
+            kw = dict(speed_lo=0.5, speed_hi=2.5)
         low, high = synth_day(rng, dem, slope, aspect, t=seq, **kw)
         ny, nx = low.shape[1:3]
         lows, highs = [], []
@@ -253,7 +288,14 @@ def holdout_figures(fwd, g_vars, batches, worst_weight=0.10):
         fake = np.asarray(fwd(g_vars, jnp.asarray(low), noise))
         hp_f.append(highpass_energy(fake[..., 0]))
         hp_t.append(highpass_energy(high[..., 0]))
-        ratios.append(hp_f[-1] / max(hp_t[-1], 1e-9))
+        # The worst-day figure looks at BOTH components: an axis-pinned
+        # day leaves one channel's truth texture-free, and which one
+        # depends on the flow direction — a u-only figure is blind to
+        # the v-degenerate half of that regime.
+        for ch in (0, 1):
+            f_ch = highpass_energy(fake[..., ch])
+            t_ch = highpass_energy(high[..., ch])
+            ratios.append(f_ch / max(t_ch, 1e-9))
         lsds.append(log_spectral_distance(fake[..., 0], high[..., 0]))
         rmses.append(float(np.sqrt(np.mean(
             (np.hypot(fake[..., 0], fake[..., 1])
@@ -302,6 +344,14 @@ def main():
                          "coefficient (TrainConfig.sharpness_coefficient); "
                          "ties each day's texture amplitude to its truth — "
                          "the direct lever on the worst-day hp-ratio tail")
+    ap.add_argument("--axis-frac", type=float, default=0.0,
+                    help="fraction of each terrain's days with axis-pinned "
+                         "flow (channel-degenerate texture regime — the "
+                         "measured worst-day tail; see synth_day)")
+    ap.add_argument("--axis-eval-batches", type=int, default=0,
+                    help="axis-pinned batches appended to the SELECTION "
+                         "holdout (never to the A/B protocol) so the "
+                         "best-checkpoint score sees the degenerate regime")
     ap.add_argument("--calm-frac", type=float, default=0.0,
                     help="fraction of each terrain's days drawn from a "
                          "calm synoptic regime (0.5-4 m/s base speed); "
@@ -406,7 +456,8 @@ def main():
     print(f"synthesizing {args.domains} terrains x {args.days} days...",
           flush=True)
     pool_low, pool_high = make_day_pool(rng, args.domains, args.days,
-                                        args.seq, calm_frac=args.calm_frac)
+                                        args.seq, calm_frac=args.calm_frac,
+                                        axis_frac=args.axis_frac)
     # ALL host synthesis must finish before the first big tunnel
     # transfer: dispatching the ~850 MB pool device_put and then running
     # the holdout builder's CPU-pinned stencil convs while it is in
@@ -421,7 +472,8 @@ def main():
               flush=True)
         holdout_batches = make_holdout_batches(
             args.holdout_seed, batch=args.batch, patch=args.patch,
-            seq=args.seq, calm_batches=args.calm_eval_batches)
+            seq=args.seq, calm_batches=args.calm_eval_batches,
+            axis_batches=args.axis_eval_batches)
     print("transferring day pool to device...", flush=True)
     pool_low = jax.device_put(pool_low)    # once: the only big transfers
     pool_high = jax.device_put(pool_high)
