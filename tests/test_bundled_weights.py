@@ -108,9 +108,25 @@ def test_bundle_per_day_sharpness_band():
     badly (its truth energy is tiny, so pooling hides it).  This runs the
     fixed A/B protocol (tools/eval_ckpt_ab.py, seed 4242 — held out from
     both training and in-training selection) and bounds every per-day
-    ratio.  Bounds encode the shipped bundle's measured quality
-    (pooled 0.84, per-day [0.66 .. 3.92], worst = the calm batch) with
-    margin; tighten as fine-tuning pulls the tail in."""
+    ratio.  Bounds encode the shipped bundle's measured quality —
+    two-seed A/B (4242/31337): pooled 0.75/0.77, per-day
+    [0.64 .. 3.13] / [0.57 .. 0.96] — with margin.
+
+    Why the band is [0.5, 3.5] and not the ideal [0.8, 1.5]: the worst
+    batch has moderate flow pinned near the v axis, so the truth's
+    u-component is almost texture-free (slope-locked gusts project with
+    cos(angle) ~ 0) while the generator's stochastic texture has a
+    floor.  Round 4 attacked this directly — per-(sample, channel)
+    sharpness loss, 1/3 axis-pinned training days, degenerate batches
+    in checkpoint selection, eval-matched noise std, a 3-point
+    sharpness-coefficient and learning-rate sweep (~70k fine-tune
+    steps) — and moved the tail 3.9 -> 3.1 but hit a structural floor:
+    suppressing one output channel's noise-driven texture conditionally
+    on flow direction requires deep conditional gating the WGAN
+    equilibrium resists at stable learning rates (higher rates diverged:
+    worst-day 100+ on axis-pinned selection batches).  The band gates
+    the measured frontier; tighten it alongside any candidate that
+    actually beats it."""
     from train_shipped_ckpt import highpass_energy, make_holdout_batches
 
     from windtpu.train.checkpoint import load_generator_npz
@@ -130,4 +146,4 @@ def test_bundle_per_day_sharpness_band():
     pooled = sum(hp_f) / sum(hp_t)
     ratios = [f / t for f, t in zip(hp_f, hp_t)]
     assert 0.65 < pooled < 1.25, (pooled, ratios)
-    assert all(0.45 < r < 4.5 for r in ratios), ratios
+    assert all(0.5 < r < 3.5 for r in ratios), ratios
