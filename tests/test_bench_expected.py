@@ -9,8 +9,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from bench import check_regressions  # noqa: E402
 
+# r02 measured figures, extended with the streaming-path figure the
+# bench gained in r04 (a full result must carry every expected key or
+# check_regressions flags it as a crashed section).
 R02 = {"value": 2.3169, "flagship_steps_per_sec": 5.6281,
        "inference_km2_per_sec": 2878791.4, "mfu": 0.0921,
+       "inference_km2_per_sec_streaming": 22944.5,
        "parallel": {"dp_efficiency": 1.045, "tile_efficiency": 0.915}}
 
 
