@@ -292,3 +292,41 @@ class TestEndToEnd:
             for sx in plan.starts_x:
                 cov[sy + 2:sy + 30, sx + 2:sx + 30] = True
         np.testing.assert_array_equal(np.isnan(vals[0]), ~cov[2:-2, 2:-2])
+
+
+class TestCompilePayload:
+    """The compiled program must not grow with the domain.
+
+    Plan tensors (origins, weights, coverage map) are threaded through
+    jit as ARGUMENTS; a closed-over array would become a jaxpr const
+    serialized with the program — at a 2048² T=24 domain the coverage
+    map alone is 400 MB of HLO, measured to overflow the remote-compile
+    transport long before HBM filled (ARCHITECTURE.md, 'plan tensors as
+    arguments').  This lowers the core predict function at two domain
+    sizes and bounds the program-text growth: shapes may appear in dims,
+    but a 16x bigger coverage map must not mean 16x more HLO."""
+
+    def test_lowered_text_is_domain_independent(self):
+        import jax
+
+        from windtpu.infer.engine import (_build_predict, _coverage_counts,
+                                          _grouped_origins)
+        from windtpu.infer.tiling import plan_tiling
+
+        def identity_apply(v, patches, noise):
+            return patches[..., :2]
+
+        sizes = {}
+        for edge in (48, 192):
+            plan = plan_tiling(edge, edge, 4, 32, 4, 0.2)
+            origins, weights = _grouped_origins(plan, TINY_I.group_size)
+            counts = _coverage_counts(plan, origins, weights,
+                                      TINY_I.border_crop)
+            predict = _build_predict(TINY_M, TINY_I, plan, identity_apply)
+            field = jnp.zeros((4, edge, edge, 3), jnp.float32)
+            lowered = jax.jit(predict).lower(
+                {}, field, jax.random.key(0), jnp.asarray(origins),
+                jnp.asarray(weights), jnp.asarray(counts))
+            sizes[edge] = len(lowered.as_text())
+        # 48 -> 192 is a 16x coverage map; allow shape-dim noise only.
+        assert sizes[192] < 2.0 * sizes[48], sizes
