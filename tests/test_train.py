@@ -412,6 +412,51 @@ def test_sharpness_loss_penalizes_blurry_and_oversharp():
             < loss_blur)
 
 
+def test_sharpness_loss_floored_on_degenerate_channel():
+    """An axis-pinned day leaves one truth channel nearly texture-free
+    (hp_truth ~ 1% of typical).  The unfloored log-ratio there explodes
+    to (log 50)^2 ~ 15 with an O(1/hp) gradient — measured to
+    destabilize fine-tuning (_ft7_run: d-loss swinging +-300).  The
+    rel_floor clamps both energies at 5% of the batch-mean truth
+    energy, so a fake whose quiet-channel texture is AT the floor pays
+    nothing, and one well above it pays a bounded log-vs-floor penalty."""
+    from windtpu.train.losses import highpass_energy_ratio_loss
+
+    k = jax.random.key(2)
+    textured = jax.random.normal(k, (2, 2, 24, 24, 1))
+    quiet = 0.01 * jax.random.normal(jax.random.key(3), (2, 2, 24, 24, 1))
+    truth = jnp.concatenate([textured, quiet], axis=-1)
+
+    # Fake matches the textured channel, paints isotropic texture on the
+    # quiet one (the degenerate-regime failure mode).
+    fake_over = jnp.concatenate(
+        [textured, jax.random.normal(jax.random.key(4), quiet.shape)],
+        axis=-1)
+    loss_over = float(highpass_energy_ratio_loss(fake_over, truth,
+                                                 sigma=3.0))
+    # Bounded: each degenerate term is ~log((hp_fake+floor)/floor)^2
+    # <= log(1/rel_floor + 1)^2 ~ 9.3, not log(hp_fake/hp_truth)^2
+    # which is unbounded as the truth channel's texture vanishes.
+    assert 0.0 < loss_over < 16.0, loss_over
+
+    # A fake whose quiet channel sits at (or below) the floor pays ~0
+    # for that channel: total loss is dominated by... nothing, both
+    # channels matched => near zero.
+    fake_ok = jnp.concatenate([textured, 0.01 * jax.random.normal(
+        jax.random.key(5), quiet.shape)], axis=-1)
+    assert float(highpass_energy_ratio_loss(fake_ok, truth,
+                                            sigma=3.0)) < 1e-2
+
+    # Gradient on the degenerate channel is finite and pushes its
+    # energy down.
+    g = jax.grad(lambda f: highpass_energy_ratio_loss(f, truth,
+                                                      sigma=3.0))(fake_over)
+    assert bool(jnp.isfinite(g).all())
+    stepped = fake_over - 0.05 * g
+    assert (float(highpass_energy_ratio_loss(stepped, truth, sigma=3.0))
+            < loss_over)
+
+
 def test_train_step_with_sharpness_coefficient():
     tcfg = TrainConfig(batch_size=2, n_critic=1, sharpness_coefficient=5.0,
                        compute_metrics=False)

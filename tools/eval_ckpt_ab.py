@@ -41,8 +41,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tools"))
 
-from train_shipped_ckpt import (highpass_energy, log_spectral_distance,  # noqa: E402
-                                make_holdout_batches)
+from train_shipped_ckpt import (floored_ratio_stats, highpass_energy,  # noqa: E402
+                                log_spectral_distance, make_holdout_batches)
 
 
 def main(argv=None):
@@ -54,6 +54,11 @@ def main(argv=None):
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--patch", type=int, default=96)
     ap.add_argument("--seq", type=int, default=6)
+    ap.add_argument("--json", default=None,
+                    help="append one JSON record per checkpoint to this "
+                         "file, keyed by the checkpoint's SHA-256 — the "
+                         "auditable evidence chain for a shipped bundle "
+                         "(docs/eval_shipped_bundle.json)")
     args = ap.parse_args(argv)
 
     import jax
@@ -92,9 +97,10 @@ def main(argv=None):
         spatially_convolved_ks_stat(r, f, lo=-10.0, hi=10.0)))
     template = jax.device_get(init_generator(mcfg, jax.random.key(0)))
 
+    records = []
     for path in args.checkpoints:
         v = load_generator_npz(path, template)
-        hp_f, hp_t, ratios, lsds, rmses = [], [], [], [], []
+        hp_f, hp_t, hp_f_ch, hp_t_ch, lsds, rmses = [], [], [], [], [], []
         acds, kss = [], []
         for i, (low, high) in enumerate(batches):
             noise = 0.1 * jax.random.normal(
@@ -104,7 +110,12 @@ def main(argv=None):
             fake = np.asarray(fake_j)
             hp_f.append(highpass_energy(fake[..., 0]))
             hp_t.append(highpass_energy(high[..., 0]))
-            ratios.append(hp_f[-1] / max(hp_t[-1], 1e-9))
+            # Per-day ratios cover BOTH velocity components: axis-pinned
+            # flow leaves one channel's truth texture-free, and which one
+            # depends on the flow direction.
+            for ch in (0, 1):
+                hp_f_ch.append(highpass_energy(fake[..., ch]))
+                hp_t_ch.append(highpass_energy(high[..., ch]))
             lsds.append(log_spectral_distance(fake[..., 0], high[..., 0]))
             rmses.append(float(np.sqrt(np.mean(
                 (np.hypot(fake[..., 0], fake[..., 1])
@@ -118,13 +129,48 @@ def main(argv=None):
         # energy scales ~flow^2, so a near-calm day has a near-zero
         # denominator and one such batch dominates a mean of per-batch
         # ratios (observed std 2.4 on 4 batches).  The pooled ratio
-        # weighs each day by its real energy; the per-day extremes are
-        # kept as the calm-day overshoot diagnostic.
+        # weighs each day by its real energy; per-day extremes are the
+        # overshoot diagnostic, reported RAW (denominator can collapse on
+        # axis-pinned channels) and FLOORED (conditioned denominator —
+        # the gate statistic; see floored_ratio_stats).
         pooled = sum(hp_f) / max(sum(hp_t), 1e-9)
+        raw, floored, floor = floored_ratio_stats(hp_f_ch, hp_t_ch)
         print(f"{path}: hp-pooled={pooled:.3f} "
-              f"hp-ratio/day=[{min(ratios):.2f}..{max(ratios):.2f}] "
+              f"hp-floored/day=[{min(floored):.2f}..{max(floored):.2f}] "
+              f"hp-raw/day=[{min(raw):.2f}..{max(raw):.2f}] "
               f"lsd={np.mean(lsds):.2f}dB ws-rmse={np.mean(rmses):.3f} "
               f"acd={np.mean(acds):.4f} ks={np.mean(kss):.4f}")
+        if args.json:
+            import hashlib
+            with open(path, "rb") as f:
+                sha = hashlib.sha256(f.read()).hexdigest()
+            records.append({
+                "checkpoint": os.path.relpath(path, REPO),
+                "sha256": sha,
+                "protocol": {"seed": args.seed, "batches": args.batches,
+                             "batch": args.batch, "patch": args.patch,
+                             "seq": args.seq,
+                             "noise_keys": "key(100+i), std 0.1"},
+                "hp_pooled": round(pooled, 4),
+                "hp_floored_per_day": [round(r, 4) for r in floored],
+                "hp_raw_per_day": [round(r, 4) for r in raw],
+                "hp_denominator_floor": round(floor, 6),
+                "lsd_db": round(float(np.mean(lsds)), 4),
+                "ws_rmse": round(float(np.mean(rmses)), 4),
+                "acd": round(float(np.mean(acds)), 5),
+                "ks": round(float(np.mean(kss)), 5),
+            })
+    if args.json:
+        import json
+        out = []
+        if os.path.exists(args.json):
+            with open(args.json) as f:
+                out = json.load(f)
+        out.extend(records)
+        with open(args.json + ".tmp", "w") as f:
+            json.dump(out, f, indent=1)
+        os.replace(args.json + ".tmp", args.json)
+        print(f"wrote {len(records)} record(s) to {args.json}")
 
 
 if __name__ == "__main__":

@@ -54,7 +54,8 @@ def gradient_penalty(
 
 def highpass_energy_ratio_loss(fake: jax.Array, truth: jax.Array,
                                sigma: float = 7.0,
-                               eps: float = 1e-6) -> jax.Array:
+                               eps: float = 1e-6,
+                               rel_floor: float = 0.05) -> jax.Array:
     """Per-sample squared log-ratio of high-pass energy, fake vs truth.
 
     The bundled-weights quality gate scores a generator by the ratio of
@@ -83,6 +84,17 @@ def highpass_energy_ratio_loss(fake: jax.Array, truth: jax.Array,
     the critic passes.  No reference counterpart: the reference has no
     sharpness objective at all (its generator loss is adversarial +
     optional perceptual reconstruction, gan/train.py:29-31).
+
+    ``rel_floor`` conditions the objective the same way the eval metric
+    is conditioned (tools/train_shipped_ckpt.floored_ratio_stats): both
+    energies get an additive floor of rel_floor * mean(hp_truth) over
+    the batch.  An axis-pinned day's quiet channel has hp_truth ~ 1% of
+    typical, so the unfloored log-ratio explodes to (log 50)^2 ~ 15
+    with an O(1/hp) gradient — measured to destabilize fine-tuning
+    (d-loss swinging +-300 within 200 steps, _ft7_run log).  With the
+    floor, the loss asks the quiet channel to bring its texture down
+    toward the negligible floor with a bounded gradient, instead of
+    chasing a near-zero target in log space.
     """
     def hp_energy(x):
         x = x.astype(jnp.float32)
@@ -95,8 +107,15 @@ def highpass_energy_ratio_loss(fake: jax.Array, truth: jax.Array,
                                  s=(h, w), axes=(2, 3))
         return jnp.mean((x - blurred) ** 2, axis=(1, 2, 3))   # (B, C)
 
-    log_ratio = (jnp.log(hp_energy(fake) + eps)
-                 - jnp.log(hp_energy(truth) + eps))
+    hp_f = hp_energy(fake)
+    hp_t = hp_energy(truth)
+    floor = rel_floor * jnp.mean(hp_t)
+    # Additive (not clamped) floor: log((f+floor)/(t+floor)) is exactly 0
+    # when matched, keeps a usable gradient for a blurry fake whose
+    # energy sits below the floor, and bounds the degenerate-channel
+    # term at ~log(1/rel_floor)^2 instead of log(t_typical/t_quiet)^2.
+    log_ratio = (jnp.log(hp_f + floor + eps)
+                 - jnp.log(hp_t + floor + eps))
     return jnp.mean(log_ratio ** 2)
 
 
