@@ -105,29 +105,30 @@ def test_bundle_per_day_sharpness_band():
     """Gate the per-day high-pass tail, not just the pooled statistic.
 
     The pooled ratio can sit near 1.0 while a near-calm day overshoots
-    badly (its truth energy is tiny, so pooling hides it).  This runs the
-    fixed A/B protocol (tools/eval_ckpt_ab.py, seed 4242 — held out from
-    both training and in-training selection) and bounds every per-day
-    ratio.  Bounds encode the shipped bundle's measured quality —
-    two-seed A/B (4242/31337): pooled 0.75/0.77, per-day
-    [0.64 .. 3.13] / [0.57 .. 0.96] — with margin.
+    badly (its truth energy is tiny, so pooling hides it).  This runs
+    the fixed A/B protocol (tools/eval_ckpt_ab.py, seed 4242 — held out
+    from both training and in-training selection) and bounds every
+    per-(day, channel) ratio, BOTH velocity components (an axis-pinned
+    day degenerates whichever channel is crosswind).
 
-    Why the band is [0.5, 3.5] and not the ideal [0.8, 1.5]: the worst
-    batch has moderate flow pinned near the v axis, so the truth's
-    u-component is almost texture-free (slope-locked gusts project with
-    cos(angle) ~ 0) while the generator's stochastic texture has a
-    floor.  Round 4 attacked this directly — per-(sample, channel)
-    sharpness loss, 1/3 axis-pinned training days, degenerate batches
-    in checkpoint selection, eval-matched noise std, a 3-point
-    sharpness-coefficient and learning-rate sweep (~70k fine-tune
-    steps) — and moved the tail 3.9 -> 3.1 but hit a structural floor:
-    suppressing one output channel's noise-driven texture conditionally
-    on flow direction requires deep conditional gating the WGAN
-    equilibrium resists at stable learning rates (higher rates diverged:
-    worst-day 100+ on axis-pinned selection batches).  The band gates
-    the measured frontier; tighten it alongside any candidate that
-    actually beats it."""
-    from train_shipped_ckpt import highpass_energy, make_holdout_batches
+    The gated statistic is the FLOORED ratio
+    (train_shipped_ckpt.floored_ratio_stats): the raw ratio divides by
+    truth texture energy that collapses to ~1% of typical on
+    axis-pinned days, so a physically negligible texture excess reads
+    as a 3-60x "overshoot" (the same shipped bytes read raw-worst 3.13
+    on this protocol and 62.5 on degenerate selection batches).  The
+    floored ratio divides by max(hp_truth, 5% of the protocol-mean
+    truth energy), so r means "at most r x 5% of a typical day's
+    texture energy, spurious" — bounded, comparable across days, and
+    the same statistic the in-training sharpness loss and checkpoint
+    selection optimize.  Raw ratios are still printed on failure.
+
+    Bounds encode the shipped bundle's measured two-seed A/B frontier
+    (docs/eval_shipped_bundle.json, SHA-keyed to these bytes): pooled
+    0.75/0.77, floored per-day [0.64..2.51] / [0.51..1.21] — with
+    margin.  Tighten alongside any candidate that beats it."""
+    from train_shipped_ckpt import (floored_ratio_stats, highpass_energy,
+                                    make_holdout_batches)
 
     from windtpu.train.checkpoint import load_generator_npz
 
@@ -135,15 +136,47 @@ def test_bundle_per_day_sharpness_band():
     variables = load_generator_npz(BUNDLED, template)
     fwd = jax.jit(lambda v, x, n: gen.apply(v, x, n, train=False))
 
-    hp_f, hp_t = [], []
+    hp_f, hp_t, hp_f_ch, hp_t_ch = [], [], [], []
     for i, (low, high) in enumerate(make_holdout_batches(4242)):
         noise = 0.1 * jax.random.normal(jax.random.key(100 + i),
                                         low.shape[:-1] + (20,))
         fake = np.asarray(fwd(variables, jnp.asarray(low), noise))
         hp_f.append(highpass_energy(fake[..., 0]))
         hp_t.append(highpass_energy(high[..., 0]))
+        for ch in (0, 1):
+            hp_f_ch.append(highpass_energy(fake[..., ch]))
+            hp_t_ch.append(highpass_energy(high[..., ch]))
 
     pooled = sum(hp_f) / sum(hp_t)
-    ratios = [f / t for f, t in zip(hp_f, hp_t)]
-    assert 0.65 < pooled < 1.25, (pooled, ratios)
-    assert all(0.5 < r < 3.5 for r in ratios), ratios
+    raw, floored, _ = floored_ratio_stats(hp_f_ch, hp_t_ch)
+    assert 0.65 < pooled < 1.25, (pooled, floored, raw)
+    assert all(0.55 < r < 2.8 for r in floored), (floored, raw)
+
+
+def test_shipped_bundle_eval_artifact_matches_bytes():
+    """The shipped bundle's quality claim must be reconstructable from
+    the tree: docs/eval_shipped_bundle.json carries the full two-seed
+    A/B record (all five metric axes, per-day ratios, protocol), keyed
+    by SHA-256 of the bundle bytes.  A bundle swap without a re-run of
+    tools/eval_ckpt_ab.py --json fails here — evidence in commit
+    messages only is not auditable."""
+    import hashlib
+    import json
+
+    art = os.path.join(REPO, "docs", "eval_shipped_bundle.json")
+    assert os.path.exists(art), (
+        "missing docs/eval_shipped_bundle.json — run "
+        "tools/eval_ckpt_ab.py <bundle> --seed {4242,31337} --json it")
+    with open(art) as f:
+        records = json.load(f)
+    with open(BUNDLED, "rb") as f:
+        sha = hashlib.sha256(f.read()).hexdigest()
+    matching = [r for r in records if r["sha256"] == sha]
+    assert matching, (
+        f"no A/B record for the shipped bundle bytes (sha256 {sha[:12]}…) "
+        f"— re-run tools/eval_ckpt_ab.py --json after swapping the bundle")
+    seeds = {r["protocol"]["seed"] for r in matching}
+    assert {4242, 31337} <= seeds, f"need both unseen seeds, have {seeds}"
+    for r in matching:
+        assert {"hp_pooled", "hp_floored_per_day", "hp_raw_per_day",
+                "lsd_db", "ws_rmse", "acd", "ks"} <= set(r)

@@ -24,7 +24,14 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _try_monolithic(edge: int, t: int, mcfg, icfg, g_vars):
+def _aspect_w(edge: int, aspect: float) -> int:
+    """Lon edge for a given lat edge and aspect ratio, snapped to the
+    96-px patch grid (>= one patch)."""
+    return max(96, int(edge * aspect) // 96 * 96)
+
+
+def _try_monolithic(edge: int, t: int, mcfg, icfg, g_vars,
+                    aspect: float = 1.0):
     """(seconds, None) for one stitched domain, or (None, reason) if it
     does not fit."""
     import jax
@@ -32,11 +39,12 @@ def _try_monolithic(edge: int, t: int, mcfg, icfg, g_vars):
     from windtpu.infer.engine import make_tiled_predictor
     from windtpu.infer.tiling import plan_tiling
 
+    w_edge = _aspect_w(edge, aspect)
     try:
-        plan = plan_tiling(edge, edge, t, icfg.image_size,
+        plan = plan_tiling(edge, w_edge, t, icfg.image_size,
                            icfg.sequence_length, icfg.overlap_factor)
         rng = np.random.RandomState(0)
-        field = rng.standard_normal((t, edge, edge, mcfg.in_channels))
+        field = rng.standard_normal((t, edge, w_edge, mcfg.in_channels))
         # Device-put once so the timed pass measures the engine, not the
         # host link (bench.py's inference_km2_per_sec does the same).
         field = jax.device_put(field.astype(np.float32))
@@ -49,7 +57,7 @@ def _try_monolithic(edge: int, t: int, mcfg, icfg, g_vars):
             # platform (returns at dispatch); fetching one element is
             # the real barrier — and it also surfaces async OOMs that
             # would otherwise let a too-big domain "succeed".
-            return float(jax.device_get(x[0, edge // 2, edge // 2, 0]))
+            return float(jax.device_get(x[0, edge // 2, w_edge // 2, 0]))
 
         pred, _ = predictor(g_vars, field, key)   # compile + run
         sync(pred)
@@ -85,6 +93,10 @@ def _try_monolithic(edge: int, t: int, mcfg, icfg, g_vars):
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--t", type=int, default=24)
+    ap.add_argument("--aspect", type=float, default=1.0,
+                    help="lon/lat edge ratio for probed domains (default "
+                         "square); re-derive the streaming threshold at "
+                         "other shapes (api.py probe-shape caveat)")
     ap.add_argument("--min-edge", type=int, default=512)
     ap.add_argument("--max-edge", type=int, default=4608)
     ap.add_argument("--out", default="docs/capacity_measured.json")
@@ -116,14 +128,17 @@ def main() -> None:
     results = {}
     fail_reasons = {}
     while edge <= args.max_edge:
-        dt, why = _try_monolithic(edge, args.t, mcfg, icfg, g_vars)
+        dt, why = _try_monolithic(edge, args.t, mcfg, icfg, g_vars,
+                                  aspect=args.aspect)
         results[edge] = dt
         if why:
             fail_reasons[edge] = why
         # km²/s = domain area per wall second for the full T-hour cube —
         # the SAME definition as bench.py's inference_km2_per_sec.
         print(f"  edge={edge}: " +
-              (f"{dt:.2f}s ({edge * edge / dt / 1e6:.2f} M km²/s)"
+              (f"{dt:.2f}s "
+               f"({edge * _aspect_w(edge, args.aspect) / dt / 1e6:.2f}"
+               f" M km²/s)"
                if dt else why))
         if dt is None:
             hi = edge
@@ -143,7 +158,8 @@ def main() -> None:
             mid = ((lo + hi) // 2) // 96 * 96
             if mid in (lo, hi):
                 break
-            dt, why = _try_monolithic(mid, args.t, mcfg, icfg, g_vars)
+            dt, why = _try_monolithic(mid, args.t, mcfg, icfg, g_vars,
+                                      aspect=args.aspect)
             results[mid] = dt
             if why:
                 fail_reasons[mid] = why
@@ -155,14 +171,18 @@ def main() -> None:
 
     ceiling_bytes = None
     if lo is not None:
-        ceiling_bytes = _engine_hbm_bytes(args.t, lo, lo, mcfg.in_channels,
+        ceiling_bytes = _engine_hbm_bytes(args.t, lo,
+                                          _aspect_w(lo, args.aspect),
+                                          mcfg.in_channels,
                                           mcfg.out_channels)
-        print(f"monolithic ceiling: {lo}x{lo} @ T={args.t} "
+        print(f"monolithic ceiling: {lo}x{_aspect_w(lo, args.aspect)} "
+              f"@ T={args.t} "
               f"(domain tensors ~{ceiling_bytes / 2**30:.2f} GiB)")
 
     payload = {
         "device": dev.device_kind,
         "t": args.t,
+        "aspect": args.aspect,
         "monolithic_max_edge": lo,   # None = nothing probed ever fit
         "monolithic_fail_edge": hi if results.get(hi, 0) is None else None,
         "fail_reasons": {str(k): v for k, v in fail_reasons.items()},
@@ -184,7 +204,8 @@ def main() -> None:
     s_edge = int((hi or args.min_edge) * 1.5) // 96 * 96
     rng = np.random.RandomState(1)
     field = rng.standard_normal(
-        (args.t, s_edge, s_edge, mcfg.in_channels)).astype(np.float32)
+        (args.t, s_edge, _aspect_w(s_edge, args.aspect),
+         mcfg.in_channels)).astype(np.float32)
     t0 = time.perf_counter()
     out, _ = downscale_field_streaming(g_vars, field, mcfg, icfg,
                                        key=jax.random.key(1))

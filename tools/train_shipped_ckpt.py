@@ -230,16 +230,20 @@ FLOOR_EPS = 0.05
 
 
 def floored_ratio_stats(hp_f, hp_t, eps=FLOOR_EPS):
-    """Per-(day, channel) high-pass ratios with a conditioned denominator.
+    """Per-(day, channel) high-pass ratios with conditioned energies.
 
     ``hp_f``/``hp_t`` are parallel lists of per-(batch, channel) high-pass
     energies.  Returns (raw_ratios, floored_ratios, floor): raw divides by
-    max(hp_t, 1e-9) (reporting only), floored divides by
-    max(hp_t, eps * mean(hp_t)) — the gate/selection statistic.
+    max(hp_t, 1e-9) (reporting only); floored is
+    max(hp_f, floor) / max(hp_t, floor) with floor = eps * mean(hp_t) —
+    the gate/selection statistic.  The floor is SYMMETRIC: a generator
+    returning the exact truth scores exactly 1.0 on every day including
+    degenerate ones (a denominator-only floor would read a perfect
+    output as hp_t/floor -> 0 on a texture-free channel and flag it).
     """
     floor = eps * (sum(hp_t) / max(len(hp_t), 1))
     raw = [f / max(t, 1e-9) for f, t in zip(hp_f, hp_t)]
-    floored = [f / max(t, floor) for f, t in zip(hp_f, hp_t)]
+    floored = [max(f, floor) / max(t, floor) for f, t in zip(hp_f, hp_t)]
     return raw, floored, float(floor)
 
 

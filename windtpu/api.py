@@ -146,6 +146,16 @@ def _engine_hbm_bytes(t: int, h: int, w: int, in_ch: int,
 # 8 GiB default) admitted domains that in fact OOM.  3.2 GiB sits
 # between the largest proven-fit estimate and the smallest measured
 # failure.  Override with WINDTPU_STREAMING_BYTES.
+#
+# Probe-shape caveat: the ceiling was bisected on SQUARE domains at
+# T=24 with 1 ensemble member (capacity_probe's default sweep), so the
+# ~2.5x stitch working-set multiplier it encodes is calibrated at that
+# shape; at very different T or aspect ratios the multiplier may shift,
+# and an estimate just under the threshold could still OOM (the
+# conservative direction — streaming a domain that would have fit — is
+# safe).  tools/capacity_probe.py --t/--aspect re-derives the edge
+# for other shapes; pair any such run with a WINDTPU_STREAMING_BYTES
+# override rather than editing this constant.
 _STREAMING_DEFAULT_BYTES = (32 << 30) // 10
 
 
