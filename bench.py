@@ -355,9 +355,27 @@ def main():
                     help="probe the largest flagship (96px, T=24) batch "
                          "that fits un-remat'd and report steps/s + MFU "
                          "per batch, then exit (VERDICT r2 item 4)")
+    ap.add_argument("--allow-contended", action="store_true",
+                    help="measure immediately even on a loaded host "
+                         "(skips the quiet-window wait; numbers will be "
+                         "depressed and the contention note recorded)")
     args = ap.parse_args()
 
     contention = _detect_contention()
+    if contention and not args.smoke and not args.allow_contended:
+        # Don't take the signature measurement on a noisy host (BENCH_r03's
+        # red tile_efficiency and r04's diagnostic-only spreads were both
+        # contended runs).  Loadavg decays with a ~1-minute constant, so a
+        # just-stopped trainer clears within the wait window; if the host
+        # never quiets, proceed loudly rather than leave the round
+        # benchless — the contention note travels with the numbers.
+        deadline = time.time() + 600
+        while contention and time.time() < deadline:
+            print(f"# bench: host contended ({contention}); waiting for a "
+                  f"quiet window (up to "
+                  f"{int(deadline - time.time())}s left)...", flush=True)
+            time.sleep(30)
+            contention = _detect_contention()
     if contention:
         print(f"# WARNING: bench starting on a contended machine: "
               f"{contention} — throughput numbers (and especially the "
