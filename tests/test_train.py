@@ -471,3 +471,29 @@ def test_train_step_with_sharpness_coefficient():
     state0 = create_train_state(TINY)
     _, m0 = make_train_step(TINY)(state0, *_batch(TINY), jax.random.key(0))
     assert float(m0["g_sharp_loss"]) == 0.0
+
+
+def test_supervised_polish_mode_trains_without_critic():
+    """adversarial_coefficient=0 + n_critic=0: the generator trains on
+    reconstruction + sharpness alone, the critic params must not move,
+    and the generator's must (the supervised-polish mode for sculpting
+    the bundled checkpoint's texture amplitude)."""
+    tcfg = TrainConfig(batch_size=2, n_critic=0,
+                       adversarial_coefficient=0.0,
+                       reconstruction_coefficient=10.0,
+                       sharpness_coefficient=5.0, compute_metrics=False)
+    cfg = GANConfig(model=TINY.model, train=tcfg)
+    state = create_train_state(cfg)
+    step = make_train_step(cfg, feature_fn=lambda x: x)
+    d0 = jax.device_get(state.d_params)
+    g0 = jax.device_get(state.g_params)
+    lr, hr = _batch(cfg)
+    state, metrics = step(state, lr, hr, jax.random.key(0))
+    assert float(metrics["g_sharp_loss"]) >= 0
+    assert np.isfinite(float(metrics["g_loss"]))
+    d1 = jax.device_get(state.d_params)
+    g1 = jax.device_get(state.g_params)
+    assert all(np.array_equal(a, b) for a, b in zip(
+        jax.tree_util.tree_leaves(d0), jax.tree_util.tree_leaves(d1)))
+    assert any(not np.array_equal(a, b) for a, b in zip(
+        jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)))

@@ -103,7 +103,12 @@ def main():
     from windtpu.train.wgan_gp import make_train_step
 
     if args.flagship:
-        B, I, T, CIN = 2, 96, 24, 3
+        # --batch composes: the default 2 is the reference inference group
+        # shape, but the honest MFU claim is made at the max-fit batch 8
+        # (docs/flagship_batch_sweep.json) — decompose there with
+        # `--flagship --batch 8` (VERDICT r4 item 5).
+        B = args.batch if args.batch != 64 else 2
+        I, T, CIN = 96, 24, 3
     else:
         B, I, T, CIN = args.batch, 64, 6, 10
     mcfg = ModelConfig(image_size=I, in_channels=CIN, noise_channels=20,

@@ -353,6 +353,14 @@ def main():
     ap.add_argument("--patch", type=int, default=96)
     ap.add_argument("--seq", type=int, default=6)
     ap.add_argument("--reco", type=float, default=20.0)
+    ap.add_argument("--adv", type=float, default=1.0,
+                    help="generator adversarial-term weight; 0 with "
+                         "--n-critic 0 is the supervised-polish mode "
+                         "(reconstruction anchor + sharpness only, no "
+                         "critic in the compiled program) — sculpts the "
+                         "per-channel texture amplitude directly against "
+                         "the gated statistic without the WGAN "
+                         "equilibrium fighting the gain")
     ap.add_argument("--n-critic", type=int, default=2,
                     help="critic updates per generator update; more gives "
                          "the critic a better read on over-sharpened "
@@ -460,6 +468,7 @@ def main():
         train=TrainConfig(batch_size=args.batch, n_critic=args.n_critic,
                           reconstruction_coefficient=args.reco,
                           sharpness_coefficient=args.sharp,
+                          adversarial_coefficient=args.adv,
                           compute_metrics=False,
                           **({"g_learning_rate": args.g_lr}
                              if args.g_lr is not None else {}),

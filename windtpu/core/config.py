@@ -100,6 +100,14 @@ class TrainConfig:
     rmsprop_learning_rate: float = 5e-5
     # Optional perceptual reconstruction loss coefficient (train.py:19-26).
     reconstruction_coefficient: float = 0.0
+    # Weight of the generator's adversarial term (reference ganbase.py:54
+    # is implicitly 1.0).  0.0 drops the critic score from the generator
+    # loss AND (with n_critic=0) removes the critic from the compiled
+    # program entirely — the supervised-polish mode used to sculpt the
+    # bundled checkpoint's texture amplitude against the reconstruction
+    # anchor + sharpness objective without the WGAN equilibrium fighting
+    # the per-channel gain (tools/train_shipped_ckpt.py --adv 0).
+    adversarial_coefficient: float = 1.0
     # Replicate the reference quirk where the gradient penalty is computed
     # outside the parameter tape and therefore never trains the critic
     # (ganbase.py:32-45).  False = real WGAN-GP.

@@ -92,6 +92,7 @@ def make_train_step(
                if use_reco else None)
     sharp_coeff = getattr(tcfg, "sharpness_coefficient", 0.0)
     sharp_sigma = getattr(tcfg, "sharpness_sigma", 7.0)
+    adv_coeff = getattr(tcfg, "adversarial_coefficient", 1.0)
     _detach_gp = getattr(tcfg, "detach_gp", False) if detach_gp is None else detach_gp
 
     def g_fwd(g_params, g_state, lr, noise, train):
@@ -229,8 +230,11 @@ def make_train_step(
 
         def g_loss_fn(gp, g_state, d_sp):
             fake, g_state_new = _g_train(gp, g_state, low_res, noise)
-            scores, d_sp_new = _d_train(d_params, d_sp, low_res, fake)
-            adv = generator_adversarial_loss(scores)
+            adv = jnp.zeros(())
+            d_sp_new = d_sp
+            if adv_coeff > 0:   # static: 0 removes the critic fwd entirely
+                scores, d_sp_new = _d_train(d_params, d_sp, low_res, fake)
+                adv = adv_coeff * generator_adversarial_loss(scores)
             reco = jnp.zeros(())
             if use_reco:
                 reco = reco_fn(low_res[..., :2], fake)
