@@ -252,14 +252,28 @@ def bench_inference_streaming(smoke=False):
     g_vars = init_generator(mcfg, jax.random.key(0))
     field = np.random.RandomState(0).standard_normal(
         (t, h, w, 3)).astype(np.float32)
-    # Warmup once to compile the fixed-shape group program; the timed
-    # pass then measures the steady-state streaming cost.
-    downscale_field_streaming(g_vars, field, mcfg, icfg,
-                              key=jax.random.key(1))
-    t0 = time.perf_counter()
-    downscale_field_streaming(g_vars, field, mcfg, icfg,
-                              key=jax.random.key(2))
-    return h * w / (time.perf_counter() - t0)
+
+    def timed(cfg):
+        # Warmup once to compile the fixed-shape group program; the timed
+        # pass then measures the steady-state streaming cost.
+        downscale_field_streaming(g_vars, field, mcfg, cfg,
+                                  key=jax.random.key(1))
+        t0 = time.perf_counter()
+        downscale_field_streaming(g_vars, field, mcfg, cfg,
+                                  key=jax.random.key(2))
+        return h * w / (time.perf_counter() - t0)
+
+    import dataclasses
+
+    # Two figures: the default float32 path (seam-identical to the
+    # monolithic engine) and the bfloat16-transfer mode — on
+    # remote-attached links the path is transfer-bound (measured: ~9 MB/s
+    # effective tunnel bandwidth, compute per group in the milliseconds),
+    # so halving the bytes roughly doubles throughput.
+    fp32 = timed(icfg)
+    bf16 = timed(dataclasses.replace(
+        icfg, streaming_transfer_dtype="bfloat16"))
+    return fp32, bf16
 
 
 def check_regressions(result: dict, skip_prefixes: tuple = ()) -> list:
@@ -398,7 +412,8 @@ def main():
             image_size=24, seq_len=2, batch=2, n_critic=1, steps=2,
             warmup=1, want_flops=True)
         km2_per_sec = bench_inference(smoke=True)
-        km2_streaming = bench_inference_streaming(smoke=True)
+        km2_streaming, km2_streaming_bf16 = \
+            bench_inference_streaming(smoke=True)
         flagship_sps = None
     else:
         steps_per_sec, flops = bench_train(want_flops=True)
@@ -408,7 +423,8 @@ def main():
         if flagship_flops and peak:
             flagship_mfu = flagship_sps * flagship_flops / peak
         km2_per_sec = bench_inference()
-        km2_streaming = bench_inference_streaming()
+        km2_streaming, km2_streaming_bf16 = \
+            bench_inference_streaming()
 
     mfu = (steps_per_sec * flops / peak) if (flops and peak) else None
 
@@ -471,6 +487,9 @@ def main():
         "inference_km2_per_sec": round(km2_per_sec, 1) if km2_per_sec else None,
         "inference_km2_per_sec_streaming":
             round(km2_streaming, 1) if km2_streaming else None,
+        "inference_km2_per_sec_streaming_bf16":
+            round(km2_streaming_bf16, 1) if km2_streaming_bf16
+            else None,
         "parallel": parallel,
         "contention": contention,
     }

@@ -9,12 +9,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from bench import check_regressions  # noqa: E402
 
-# r02 measured figures, extended with the streaming-path figure the
-# bench gained in r04 (a full result must carry every expected key or
-# check_regressions flags it as a crashed section).
+# r02 measured figures, extended with the streaming-path figures the
+# bench gained in r04/r05 (a full result must carry every expected key
+# or check_regressions flags it as a crashed section).  The streaming
+# values are r5 quiet-machine measurements of the pipelined engine.
 R02 = {"value": 2.3169, "flagship_steps_per_sec": 5.6281,
        "inference_km2_per_sec": 2878791.4, "mfu": 0.0921,
-       "inference_km2_per_sec_streaming": 22944.5,
+       "inference_km2_per_sec_streaming": 46973.0,
+       "inference_km2_per_sec_streaming_bf16": 87752.0,
        "parallel": {"dp_efficiency": 1.045, "tile_efficiency": 0.915}}
 
 

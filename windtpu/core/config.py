@@ -216,6 +216,16 @@ class InferenceConfig:
     # domains.  The per-patch stitch loop inside each group is always
     # unrolled (group_size is static).
     scan_unroll: int = 4
+    # Host<->device transfer precision for the STREAMING engine only
+    # (infer/streaming.py).  The streaming path is transfer-bound on
+    # remote-attached links (measured v5e-via-tunnel: ~1.9 s per group of
+    # which compute is milliseconds — 17 MB of fp32 patches+preds at
+    # ~9 MB/s), so "bfloat16" halves the bytes for ~2x throughput.
+    # Inputs are near-lossless (the flagship model computes in bf16
+    # anyway); downloaded predictions get rounded to bf16 (~0.4%
+    # relative), so the default stays "float32", which is seam-identical
+    # to the monolithic engine.
+    streaming_transfer_dtype: str = "float32"
 
 
 @dataclasses.dataclass(frozen=True)

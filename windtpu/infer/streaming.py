@@ -52,16 +52,20 @@ def _group_apply(mcfg: ModelConfig, icfg: InferenceConfig, seq: int,
     weights are applied on device too — the host loop only stitches."""
     model = Generator(mcfg)
     crop = icfg.border_crop
+    transfer_bf16 = getattr(icfg, "streaming_transfer_dtype",
+                            "float32") == "bfloat16"
 
     @jax.jit
     def run(g_vars, patches, weights, key, g_idx):
+        patches = patches.astype(jnp.float32)    # bf16 uploads upcast here
         noise = icfg.noise_std * jax.random.normal(
             jax.random.fold_in(key, g_idx),
             patches.shape[:-1] + (mcfg.noise_channels,))
         preds = model.apply(g_vars, patches, noise, train=False)
         preds = preds[:, :, ::-1, :, :]          # back to ascending rows
         preds = preds[:, :, crop:img - crop, crop:img - crop, :]
-        return preds * weights[:, None, None, None, None]
+        preds = preds * weights[:, None, None, None, None]
+        return preds.astype(jnp.bfloat16) if transfer_bf16 else preds
 
     return run
 
@@ -202,6 +206,11 @@ def downscale_field_streaming(
 
     weights_dev = [jnp.asarray(weights_g[g]) for g in
                    range(weights_g.shape[0])]
+    if getattr(icfg, "streaming_transfer_dtype", "float32") == "bfloat16":
+        import ml_dtypes
+        transfer_dtype = ml_dtypes.bfloat16
+    else:
+        transfer_dtype = np.float32
 
     def stream_one(member_key):
         """One full streamed downscaling, pipelined.
@@ -221,12 +230,12 @@ def downscale_field_streaming(
         def dispatch(g_idx):
             patches = np.stack([_host_patch(field, o, seq, img)
                                 for o in origins_g[g_idx]])
-            normalized = (patches - mean) / std
+            normalized = ((patches - mean) / std).astype(transfer_dtype)
             return apply_group(g_vars, jnp.asarray(normalized),
                                weights_dev[g_idx], member_key, g_idx)
 
         def stitch(g_idx, preds_dev):
-            preds = np.asarray(jax.device_get(preds_dev))
+            preds = np.asarray(jax.device_get(preds_dev), np.float32)
             origins = origins_g[g_idx]
             weights = weights_g[g_idx]
             for i in range(icfg.group_size):
