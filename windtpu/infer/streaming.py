@@ -212,32 +212,47 @@ def downscale_field_streaming(
     else:
         transfer_dtype = np.float32
 
-    def stream_one(member_key):
-        """One full streamed downscaling, pipelined.
+    def stream_members(member_keys):
+        """Streamed downscaling for one or more ensemble members,
+        pipelined with shared uploads.
 
         JAX dispatch is asynchronous: enqueueing group g+1's upload and
-        forward BEFORE blocking on group g's result keeps the device
+        forwards BEFORE blocking on group g's results keeps the device
         (and the tunnel's transfer engine) busy while the host
         stitches — the r4 engine called a blocking device_get before
         building the next group, serializing host prep, upload,
         compute, download, and stitch end to end (VERDICT r4 weak #2).
-        A queue depth of 2 is enough: at any moment one group is being
-        stitched on host while the next is in flight on device.  Device
-        memory stays O(group): two in-flight groups, not the domain.
+        Device memory stays O(group): one uploaded group plus in-flight
+        prediction buffers, never the domain.
+
+        ENSEMBLE members share each group's upload: the normalized
+        patches are member-independent, so one device_put feeds every
+        member's forward (noise differs per member INSIDE the program
+        via fold_in(member_key, g_idx), so outputs are bit-identical to
+        streaming each member separately).  On transfer-bound links the
+        upload is the larger leg (~10.6 MB up vs ~6.5 MB down per
+        flagship fp32 group), so M members cost up + M·down instead of
+        M·(up + down).
         """
-        canvas = np.zeros((t_total, h, w_pix, mcfg.out_channels), np.float32)
+        n_members = len(member_keys)
+        canvases = np.zeros(
+            (n_members, t_total, h, w_pix, mcfg.out_channels), np.float32)
 
         def dispatch(g_idx):
             patches = np.stack([_host_patch(field, o, seq, img)
                                 for o in origins_g[g_idx]])
             normalized = ((patches - mean) / std).astype(transfer_dtype)
-            return apply_group(g_vars, jnp.asarray(normalized),
-                               weights_dev[g_idx], member_key, g_idx)
+            dev_in = jnp.asarray(normalized)      # ONE upload per group
+            return [(g_idx, m, apply_group(g_vars, dev_in,
+                                           weights_dev[g_idx],
+                                           member_keys[m], g_idx))
+                    for m in range(n_members)]
 
-        def stitch(g_idx, preds_dev):
+        def stitch(g_idx, member, preds_dev):
             preds = np.asarray(jax.device_get(preds_dev), np.float32)
             origins = origins_g[g_idx]
             weights = weights_g[g_idx]
+            canvas = canvases[member]
             for i in range(icfg.group_size):
                 if not weights[i]:
                     continue
@@ -254,15 +269,15 @@ def downscale_field_streaming(
 
         pending = []
         for g_idx in range(origins_g.shape[0]):
-            pending.append((g_idx, dispatch(g_idx)))
-            if len(pending) > 1:
+            pending.extend(dispatch(g_idx))
+            while len(pending) > n_members:   # keep one group in flight
                 stitch(*pending.pop(0))
         for item in pending:
             stitch(*item)
-        return np.where(counts > 0, canvas / np.maximum(counts, 1.0),
-                        np.nan)
+        return np.where(counts[None] > 0,
+                        canvases / np.maximum(counts[None], 1.0), np.nan)
 
     if ensemble_keys is not None:
-        return np.stack([stream_one(k) for k in ensemble_keys]), plan
+        return stream_members(list(ensemble_keys)), plan
     key = key if key is not None else jax.random.key(0)
-    return stream_one(key), plan
+    return stream_members([key])[0], plan
