@@ -155,3 +155,31 @@ def test_log_spectral_distance_is_a_metric_like_gap():
     a = rng.standard_normal((2, 64, 64))
     assert log_spectral_distance(a, a) == pytest.approx(0.0)
     assert log_spectral_distance(a, gaussian_blur(a, 5.0)) > 1.0
+
+
+def test_floored_ratio_stats_contract():
+    """The gate statistic's three defining properties (VERDICT r4 item 1):
+
+    * a perfect generator scores exactly 1.0 on EVERY (day, channel),
+      including texture-free ones (symmetric floor — a denominator-only
+      floor would read hp_t/floor -> 0 there and flag perfection);
+    * a degenerate-channel overshoot is bounded by ~1/eps instead of
+      the raw ratio's unbounded blowup (the 57-62x sidecar artifacts);
+    * on well-conditioned days (hp_t >> floor) floored == raw.
+    """
+    from train_shipped_ckpt import FLOOR_EPS, floored_ratio_stats
+
+    # 3 days x typical energies, one texture-free channel.
+    hp_t = [1.0, 0.8, 1e-4]
+    raw, floored, floor = floored_ratio_stats(list(hp_t), hp_t)
+    assert floor == FLOOR_EPS * sum(hp_t) / 3
+    assert all(abs(r - 1.0) < 1e-12 for r in floored), floored
+
+    # Overshoot on the degenerate channel: raw explodes, floored bounded.
+    hp_f = [1.0, 0.8, 0.5]
+    raw, floored, floor = floored_ratio_stats(hp_f, hp_t)
+    assert raw[2] > 1000
+    assert floored[2] < 1.0 / FLOOR_EPS + 1
+    # Well-conditioned days: identical.
+    assert abs(floored[0] - raw[0]) < 1e-12
+    assert abs(floored[1] - raw[1]) < 1e-12
