@@ -54,7 +54,7 @@ def _time_once(fn, sync, inner=3):
     return best
 
 
-def _paired_ratio(fn_a, sync_a, fn_b, sync_b, rounds=7):
+def _paired_ratio(fn_a, sync_a, fn_b, sync_b, rounds=11, trim=2):
     """median and spread of t_a/t_b over interleaved A/B rounds.
 
     The r03 bench shipped a red tile_efficiency (0.694 vs r02's 0.915)
@@ -63,10 +63,16 @@ def _paired_ratio(fn_a, sync_a, fn_b, sync_b, rounds=7):
     two blocks skews the ratio arbitrarily.  Interleaving A and B within
     each round makes every ratio sample see the same machine state, and
     the median across rounds discards the outlier rounds that best-of-N
-    kept.  Returns (ratio_median, ratio_spread, t_a_median, t_b_median);
-    spread = (max - min) / median of the per-round ratios — > ~0.2 means
-    the host was noisy and the number should not be trusted as a layout
-    diagnostic."""
+    kept.  Returns (ratio_median, ratio_spread, t_a_median, t_b_median).
+
+    ``spread`` is a TRIMMED range: (max - min) / median over the per-round
+    ratios with the ``trim`` smallest and largest dropped.  The r4 full
+    range was dominated by a single OS-jitter round on the shared-CPU
+    virtual mesh (one descheduled ~25 ms call moves a ratio 10-20%),
+    which says nothing about the sharding layout the figure exists to
+    watch; the middle rounds carry that signal.  > ~0.1 after trimming
+    still means the host was noisy and the number should not be trusted
+    as a layout diagnostic."""
     fn_a()
     sync_a()  # compile A
     fn_b()
@@ -80,7 +86,8 @@ def _paired_ratio(fn_a, sync_a, fn_b, sync_b, rounds=7):
         tbs.append(tb)
     ratios.sort()
     med = ratios[len(ratios) // 2]
-    spread = (ratios[-1] - ratios[0]) / med if med else None
+    kept = ratios[trim:-trim] if trim and len(ratios) > 2 * trim else ratios
+    spread = (kept[-1] - kept[0]) / med if med else None
     tas.sort()
     tbs.sort()
     return med, spread, tas[len(tas) // 2], tbs[len(tbs) // 2]
