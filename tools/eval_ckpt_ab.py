@@ -45,6 +45,12 @@ from train_shipped_ckpt import (floored_ratio_stats, highpass_energy,  # noqa: E
                                 log_spectral_distance, make_holdout_batches)
 
 
+def _sha256(path):
+    import hashlib
+    with open(path, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("checkpoints", nargs="+", help="generator .npz files")
@@ -59,6 +65,12 @@ def main(argv=None):
                          "file, keyed by the checkpoint's SHA-256 — the "
                          "auditable evidence chain for a shipped bundle "
                          "(docs/eval_shipped_bundle.json)")
+    ap.add_argument("--gate", default=None, const="__bundled__", nargs="?",
+                    help="apply the flow-conditional texture gate "
+                         "(models/texture_gate.py) to every candidate's "
+                         "output before scoring, matching the shipping "
+                         "inference path; optional value = gate .npz path "
+                         "(default: the bundled asset)")
     args = ap.parse_args(argv)
 
     import jax
@@ -91,7 +103,16 @@ def main(argv=None):
                                          spatially_convolved_ks_stat)
 
     gen = Generator(mcfg)
-    fwd = jax.jit(lambda v, x, n: gen.apply(v, x, n, train=False))
+    if args.gate:
+        from windtpu.models.texture_gate import apply_gate, load_gate_npz
+        gate_path = (os.path.join(REPO, "windtpu", "assets", "weights",
+                                  "texture-gate.npz")
+                     if args.gate == "__bundled__" else args.gate)
+        gate_params = load_gate_npz(gate_path)
+        fwd = jax.jit(lambda v, x, n: apply_gate(
+            gate_params, x, gen.apply(v, x, n, train=False)))
+    else:
+        fwd = jax.jit(lambda v, x, n: gen.apply(v, x, n, train=False))
     acd_fn = jax.jit(lambda r, f: jnp.mean(angular_cosine_distance(r, f)))
     ks_fn = jax.jit(lambda r, f: jnp.mean(
         spatially_convolved_ks_stat(r, f, lo=-10.0, hi=10.0)))
@@ -141,16 +162,16 @@ def main(argv=None):
               f"lsd={np.mean(lsds):.2f}dB ws-rmse={np.mean(rmses):.3f} "
               f"acd={np.mean(acds):.4f} ks={np.mean(kss):.4f}")
         if args.json:
-            import hashlib
-            with open(path, "rb") as f:
-                sha = hashlib.sha256(f.read()).hexdigest()
+            sha = _sha256(path)
             records.append({
                 "checkpoint": os.path.relpath(path, REPO),
                 "sha256": sha,
                 "protocol": {"seed": args.seed, "batches": args.batches,
                              "batch": args.batch, "patch": args.patch,
                              "seq": args.seq,
-                             "noise_keys": "key(100+i), std 0.1"},
+                             "noise_keys": "key(100+i), std 0.1",
+                             "texture_gate": (_sha256(gate_path)
+                                              if args.gate else None)},
                 "hp_pooled": round(pooled, 4),
                 "hp_floored_per_day": [round(r, 4) for r in floored],
                 "hp_raw_per_day": [round(r, 4) for r in raw],
