@@ -123,41 +123,55 @@ def test_bundle_per_day_sharpness_band():
     the same statistic the in-training sharpness loss and checkpoint
     selection optimize.  Raw ratios are still printed on failure.
 
-    Bounds encode the shipped bundle's measured two-seed A/B frontier
-    (docs/eval_shipped_bundle.json, SHA-keyed to these bytes): pooled
-    0.75/0.77, floored per-day [0.64..2.51] / [0.51..1.21] — with
-    margin.  Why not the ideal [0.8, 1.5]: docs/tail_campaign_r5.json
-    records the full round-5 campaign — two WGAN fine-tunes against the
-    floored selection score, a critic-free supervised polish descending
-    directly on this statistic, and a structured-noise A/B (~55k steps
-    on top of round 4's ~70k sweep) — all of which plateau the two-seed
-    floored worst at ~2.2-2.6; pushing lower trades pooled sharpness or
-    LSD.  Flow-conditional per-channel texture gating is what the band
-    demands and what this architecture only learns at destabilizing
-    step sizes.  At the frontier, the residual defect is bounded: a
-    floored 2.56 caps spurious texture at ~12.8% of a typical day's
-    energy on a physically near-calm channel.  Tighten alongside any
-    candidate that beats it."""
+    SHIPPING PATH (generator + bundled texture gate): the demanded band
+    [0.8, 1.5] holds on every per-(day, channel) floored ratio — the
+    flow-conditional texture gate (models/texture_gate.py) rescales each
+    output channel's high-pass band to the truth energy predicted from
+    the input flow, which is exactly the multiplicative gating the
+    round-4/5 fine-tune campaign proved the generator equilibrium cannot
+    learn (docs/tail_campaign_r5.json: ~125k steps across five
+    strategies plateaued the two-seed floored worst at ~2.2-2.6).
+    Measured two-seed gated frontier (docs/eval_shipped_bundle.json,
+    SHA-keyed to both assets): floored [0.93..1.05] / [0.91..1.07],
+    pooled 1.03/1.00, and LSD/KS improve alongside.
+
+    RAW GENERATOR guard (gate off): the pre-gate frontier [0.55, 2.8] /
+    pooled [0.65, 1.25] still bounds the bundle itself, so a generator
+    regression cannot hide behind the gate's normalization."""
     from train_shipped_ckpt import (floored_ratio_stats, highpass_energy,
                                     make_holdout_batches)
 
+    from windtpu.models.texture_gate import apply_gate, load_gate_npz
     from windtpu.train.checkpoint import load_generator_npz
 
     gen, template = _flagship_generator(batch=8)
     variables = load_generator_npz(BUNDLED, template)
+    gate = load_gate_npz(os.path.join(REPO, "windtpu", "assets",
+                                      "weights", "texture-gate.npz"))
     fwd = jax.jit(lambda v, x, n: gen.apply(v, x, n, train=False))
+    gate_fn = jax.jit(apply_gate)
 
-    hp_f, hp_t, hp_f_ch, hp_t_ch = [], [], [], []
+    hp_f, hp_t, hp_f_ch, hp_t_ch, hp_g_ch = [], [], [], [], []
     for i, (low, high) in enumerate(make_holdout_batches(4242)):
         noise = 0.1 * jax.random.normal(jax.random.key(100 + i),
                                         low.shape[:-1] + (20,))
-        fake = np.asarray(fwd(variables, jnp.asarray(low), noise))
+        fake_j = fwd(variables, jnp.asarray(low), noise)
+        fake = np.asarray(fake_j)
+        gated = np.asarray(gate_fn(gate, jnp.asarray(low), fake_j))
         hp_f.append(highpass_energy(fake[..., 0]))
         hp_t.append(highpass_energy(high[..., 0]))
         for ch in (0, 1):
             hp_f_ch.append(highpass_energy(fake[..., ch]))
+            hp_g_ch.append(highpass_energy(gated[..., ch]))
             hp_t_ch.append(highpass_energy(high[..., ch]))
 
+    # Shipping path: the demanded band, met with margin.
+    _, floored_g, _ = floored_ratio_stats(hp_g_ch, hp_t_ch)
+    pooled_g = sum(hp_g_ch) / sum(hp_t_ch)
+    assert 0.85 < pooled_g < 1.15, (pooled_g, floored_g)
+    assert all(0.8 < r < 1.5 for r in floored_g), floored_g
+
+    # Raw-generator guard: the ungated frontier still bounds the bundle.
     pooled = sum(hp_f) / sum(hp_t)
     raw, floored, _ = floored_ratio_stats(hp_f_ch, hp_t_ch)
     assert 0.65 < pooled < 1.25, (pooled, floored, raw)
@@ -191,3 +205,16 @@ def test_shipped_bundle_eval_artifact_matches_bytes():
     for r in matching:
         assert {"hp_pooled", "hp_floored_per_day", "hp_raw_per_day",
                 "lsd_db", "ws_rmse", "acd", "ks"} <= set(r)
+
+    # The SHIPPING path includes the texture gate: both seeds also need
+    # a record scored with the bundled gate bytes (eval_ckpt_ab --gate),
+    # so a gate-asset swap without a re-run fails here too.
+    gate_path = os.path.join(REPO, "windtpu", "assets", "weights",
+                             "texture-gate.npz")
+    with open(gate_path, "rb") as f:
+        gate_sha = hashlib.sha256(f.read()).hexdigest()
+    gated_seeds = {r["protocol"]["seed"] for r in matching
+                   if r["protocol"].get("texture_gate") == gate_sha}
+    assert {4242, 31337} <= gated_seeds, (
+        f"need gated records for both seeds keyed to the bundled gate "
+        f"(sha256 {gate_sha[:12]}…), have {gated_seeds}")

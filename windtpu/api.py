@@ -76,6 +76,12 @@ def get_network(weights_path: Optional[str] = None):
     else:
         print("warning: no pretrained weights found (set $WINDTPU_WEIGHTS); "
               "using random initialization")
+    gate_path = os.path.join(os.path.dirname(__file__), "assets", "weights",
+                             "texture-gate.npz")
+    if os.path.exists(gate_path):
+        from windtpu.models.texture_gate import load_gate_npz
+
+        gan.texture_gate = load_gate_npz(gate_path)
     return gan
 
 
@@ -166,6 +172,22 @@ def _streaming_threshold() -> int:
                               _STREAMING_DEFAULT_BYTES))
 
 
+_TEXTURE_GATE_JIT = None
+
+
+def _gate_on_device(target, floor, preds):
+    """Jitted band-rescale on the stitched canvas already resident in
+    HBM (models/texture_gate.apply_gate_targeted).  One shared jit —
+    XLA's cache keys on shapes, so repeat calls at a domain size
+    compile once; ``floor`` rides as a traced scalar, not a constant."""
+    global _TEXTURE_GATE_JIT
+    if _TEXTURE_GATE_JIT is None:
+        from windtpu.models.texture_gate import apply_gate_targeted
+
+        _TEXTURE_GATE_JIT = jax.jit(apply_gate_targeted)
+    return _TEXTURE_GATE_JIT(target, floor, preds)
+
+
 def predict(
     inputs_era5: Dataset,
     inputs_topo: Dataset,
@@ -177,6 +199,7 @@ def predict(
     noise_std: Optional[float] = None,
     mesh="auto",
     streaming="auto",
+    texture_gate="auto",
 ) -> Dataset:
     """Tile the merged (u10, v10, elevation) field into
     24 x 96 x 96 cubes, run the generator with fresh noise, stitch with
@@ -198,8 +221,29 @@ def predict(
     the per-chip HBM budget (see ``_engine_hbm_bytes``); True forces it,
     False forbids it.  Streamed output is seam-identical to the
     monolithic engine — same tiling, statistics, and noise streams.
+
+    ``texture_gate``: "auto" (default) applies the flow-conditional
+    texture gate (models/texture_gate.py) when the network carries one
+    (get_network loads the bundled calibration) — rescaling each output
+    channel's high-pass band to the truth energy predicted from the
+    input flow, the fix for the per-day sharpness tail on near-calm /
+    axis-pinned days (docs/texture_gate_fit.json).  False disables it
+    (bit-parity comparisons against the ungated reference pipeline);
+    a params dict or .npz path overrides the bundled calibration.  The
+    prediction runs on host from a dozen intensive statistics of the
+    input field; the band rescale runs where the stitched canvas lives
+    (on device for the monolithic engine, in host RAM for streaming).
     """
     network = network if network is not None else get_network()
+    gate_params = None
+    if texture_gate == "auto" or texture_gate is True:
+        gate_params = getattr(network, "texture_gate", None)
+    elif isinstance(texture_gate, str):
+        from windtpu.models.texture_gate import load_gate_npz
+
+        gate_params = load_gate_npz(texture_gate)
+    elif texture_gate:
+        gate_params = texture_gate
     mcfg = network.cfg.model
     icfg = InferenceConfig(
         sequence_length=mcfg.sequence_length, image_size=mcfg.image_size,
@@ -216,6 +260,17 @@ def predict(
     elev = np.asarray(inputs_topo["elevation"].values, np.float32) / 1e3
     elev_t = np.broadcast_to(elev, u10.shape)
     field = np.stack([u10, v10, elev_t], axis=-1)  # (T, lat, lon, 3)
+
+    gate_target = gate_floor = None
+    if gate_params is not None:
+        from windtpu.models.texture_gate import predict_log_energy_np
+
+        # Host-side: a dozen intensive reductions + per-frame power
+        # spectra of the (already host-resident) input — never re-ships
+        # the field over the device link just to compute 2 scalars.
+        gate_target = np.exp(predict_log_energy_np(
+            gate_params, field)).astype(np.float32)
+        gate_floor = np.asarray(gate_params["floor"], np.float32)
 
     t_total, h, w = field.shape[:3]
     plan = plan_tiling(h, w, t_total, icfg.image_size, icfg.sequence_length,
@@ -252,8 +307,16 @@ def predict(
                 network.generator_variables, field, mcfg, icfg,
                 key=key, plan=plan)
             member_axis = False
+        pred = _trim_canvas(pred, member_axis, plan, icfg)
+        if gate_params is not None:
+            from windtpu.models.texture_gate import apply_gate_targeted_np
+
+            # The streamed canvas lives in host RAM because it does NOT
+            # fit on device — gate it there, frame at a time.
+            pred = apply_gate_targeted_np(gate_target, gate_floor, pred)
         _LAST_RUN.update(mode="streaming", mesh_axes=None,
-                         ensemble_sharded=False, n_devices=1)
+                         ensemble_sharded=False, n_devices=1,
+                         texture_gate=gate_params is not None)
         return _assemble_output(pred, member_axis, plan, icfg, time_vals,
                                 lat, lon, ensemble_members)
     tile_parallel = (mesh is not None and "data" in mesh.axis_names
@@ -292,7 +355,11 @@ def predict(
             if mesh is not None else None,
             ensemble_sharded=ensemble_sharded,
             n_devices=len(preds.sharding.device_set),
+            texture_gate=gate_params is not None,
         )
+        preds = _trim_canvas(preds, True, plan, icfg)
+        if gate_params is not None:
+            preds = _gate_on_device(gate_target, gate_floor, preds)
         pred = np.asarray(jax.device_get(preds))
         member_axis = True
     else:
@@ -308,7 +375,11 @@ def predict(
             if mesh is not None else None,
             ensemble_sharded=False,
             n_devices=len(mesh.devices.ravel()) if tile_parallel else 1,
+            texture_gate=gate_params is not None,
         )
+        pred = _trim_canvas(pred, False, plan, icfg)
+        if gate_params is not None:
+            pred = _gate_on_device(gate_target, gate_floor, pred)
         pred = np.asarray(jax.device_get(pred))
         member_axis = False
 
@@ -316,18 +387,28 @@ def predict(
                             lat, lon, ensemble_members)
 
 
-def _assemble_output(pred, member_axis, plan, icfg, time_vals, lat, lon,
-                     ensemble_members):
-    """Stitched canvas -> output Dataset: trim to the covered time window
-    and drop the border-cropped rim (reference api.py:150-152 isel(2,-2) +
-    groupby-mean drops those coordinates from its grid entirely; same here
-    rather than returning a NaN frame)."""
+def _trim_canvas(pred, member_axis, plan, icfg):
+    """Slice the stitched canvas to the covered time window and drop the
+    border-cropped rim (reference api.py:150-152 isel(2,-2) +
+    groupby-mean drops those coordinates from its grid entirely; same
+    here rather than returning a NaN frame).  Pure slicing — lazy and
+    free on device arrays, so the texture gate can run on device on a
+    NaN-free field before anything is fetched to host."""
     covered_t = plan.num_time_chunks * icfg.sequence_length
     pred = pred[..., :covered_t, :, :, :] if member_axis \
         else pred[:covered_t]
     b = icfg.border_crop
     if b:
         pred = pred[..., b:-b, b:-b, :]
+    return pred
+
+
+def _assemble_output(pred, member_axis, plan, icfg, time_vals, lat, lon,
+                     ensemble_members):
+    """Already-trimmed canvas (_trim_canvas) -> output Dataset."""
+    covered_t = plan.num_time_chunks * icfg.sequence_length
+    b = icfg.border_crop
+    if b:
         lat = lat[b:-b]
         lon = lon[b:-b]
     coords = {

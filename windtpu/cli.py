@@ -32,6 +32,10 @@ def main(argv=None):
     parser.add_argument("--ensemble", type=int, default=1,
                         help="number of stochastic ensemble members")
     parser.add_argument("--overlap-factor", type=float, default=0.01)
+    parser.add_argument("--no-texture-gate", action="store_true",
+                        help="disable the flow-conditional texture gate "
+                             "(models/texture_gate.py) — raw generator "
+                             "output, as the reference CLI produces")
     args = parser.parse_args(argv)
 
     from windtpu.utils.compilecache import enable_persistent_cache
@@ -50,7 +54,8 @@ def main(argv=None):
     result = api.downscale(
         era5, raster, range_lon=longitude_r, range_lat=latitude_r,
         overlap_factor=args.overlap_factor, network=network,
-        ensemble_members=args.ensemble)
+        ensemble_members=args.ensemble,
+        texture_gate=False if args.no_texture_gate else "auto")
     result.to_netcdf(args.output)
     print(f"wrote {args.output}")
 

@@ -243,6 +243,156 @@ def _gate(params: Params, low: jnp.ndarray, fake: jnp.ndarray,
     return jnp.moveaxis(out, -4, -1), s
 
 
+def apply_gate_targeted(pred_energy: jnp.ndarray, floor: jnp.ndarray,
+                        fake: jnp.ndarray) -> jnp.ndarray:
+    """Gate ``fake`` (..., T, H, W, 2) toward precomputed target energies.
+
+    The API inference path splits the gate: the energy PREDICTION runs
+    on host from the input field's intensive statistics (so the field is
+    never re-uploaded over the host<->device link just for a dozen
+    scalars — see predict_log_energy_np), while the measurement + blend
+    run here, on the stitched canvas that already lives in HBM.
+    ``pred_energy`` broadcasts against the (..., 2) gain shape (a (2,)
+    vector applies one target per channel across all ensemble members).
+    """
+    yc = jnp.moveaxis(fake, -1, -4).astype(jnp.float32)
+    # Canvases can carry NaN holes (cells no patch covers at exotic
+    # tilings); one NaN would poison the whole FFT.  Zero them for the
+    # spectral ops and restore afterwards — zeros add no band energy.
+    finite = jnp.isfinite(yc)
+    yz = jnp.where(finite, yc, 0.0)
+    ny, nx = yz.shape[-2], yz.shape[-1]
+    g = _gauss_multiplier(ny, nx)
+    spec = jnp.fft.fft2(yz)
+    m, a, b, c = _band_moments(spec, g)
+    target = jnp.maximum(pred_energy, floor)
+    s = _solve_gain(target, m, a, b, c, floor)
+    s = jnp.where((pred_energy <= floor) & (m <= floor), 1.0, s)
+    mult = g + s[..., None, None, None] * (1.0 - g)
+    out = jnp.fft.ifft2(spec * mult).real
+    out = jnp.where(finite, out, yc)
+    return jnp.moveaxis(out, -4, -1)
+
+
+# ---------------------------------------------------------------------------
+# Host (numpy) twin — used by the streaming engine, whose canvas lives in
+# host RAM precisely because it does NOT fit on device, and by the API's
+# host-side energy prediction.  Mirrors the jnp math exactly (float32).
+# ---------------------------------------------------------------------------
+
+def _np_gauss(ny, nx, sigma=SIGMA):
+    ky = np.fft.fftfreq(ny)[:, None]
+    kx = np.fft.fftfreq(nx)[None, :]
+    return np.exp(-2.0 * (np.pi * sigma) ** 2
+                  * (ky ** 2 + kx ** 2)).astype(np.float32)
+
+
+def _np_hp_energy(field):
+    """Metric high-pass energy over the last 3 axes (T, H, W), computed
+    from the power spectrum (no inverse FFT): mean_x |Hy|^2 =
+    sum_k H(k)^2 |Y_k|^2 / N^2 per frame."""
+    field = np.asarray(field, np.float32)
+    ny, nx = field.shape[-2], field.shape[-1]
+    h = 1.0 - _np_gauss(ny, nx)
+    w = h[:, :nx // 2 + 1].copy()
+    # rfft2 drops conjugate-symmetric columns; double their weight
+    # (first column and, for even nx, the Nyquist column are unique).
+    w[:, 1:(nx + 1) // 2] *= np.sqrt(2.0)
+    w2 = w ** 2
+    n2 = float(ny * nx) ** 2
+    flat = field.reshape(-1, ny, nx)
+    e = np.empty(flat.shape[0], np.float64)
+    for f in range(flat.shape[0]):  # frame-at-a-time: numpy fft promotes
+        # to complex128, and streaming-scale frames are large
+        spec = np.fft.rfft2(flat[f])
+        e[f] = np.sum((spec.real ** 2 + spec.imag ** 2) * w2) / n2
+    return e.reshape(field.shape[:-2]).mean(axis=-1)
+
+
+def features_np(low) -> np.ndarray:
+    """Numpy twin of :func:`_features` — (..., 2, F)."""
+    low = np.asarray(low, np.float32)
+    u, v, elev = low[..., 0], low[..., 1], low[..., 2]
+    red = (-3, -2, -1)
+
+    def chan_stats(x):
+        return [np.mean(np.abs(x), axis=red), np.std(x, axis=red),
+                np.log(_np_hp_energy(x) + 1e-8)]
+
+    su, sv = chan_stats(u), chan_stats(v)
+    speed = np.mean(np.sqrt(u * u + v * v), axis=red)
+    gy = elev - np.roll(elev, 1, axis=-2)
+    gx = elev - np.roll(elev, 1, axis=-1)
+    grad2 = gy * gy + gx * gx
+    rough = [np.mean(np.sqrt(grad2), axis=red),
+             np.log(np.mean(grad2, axis=red) + 1e-10)]
+    shared = [speed, np.std(elev, axis=red),
+              np.log(_np_hp_energy(elev) + 1e-8)] + rough
+    fu = np.stack(su + sv + shared, axis=-1)
+    fv = np.stack(sv + su + shared, axis=-1)
+    return np.stack([fu, fv], axis=-2)
+
+
+def predict_log_energy_np(params: Params, low) -> np.ndarray:
+    """Numpy twin of :func:`predict_log_energy` — (..., 2)."""
+    p = {k: np.asarray(v) for k, v in params.items()}
+    f = (features_np(low) - p["f_mu"]) / p["f_sd"]
+    h = np.tanh(f @ p["w1"] + p["b1"])
+    h = np.tanh(h @ p["w2"] + p["b2"])
+    return (h @ p["w3"] + p["b3"])[..., 0]
+
+
+def apply_gate_targeted_np(pred_energy, floor, fake) -> np.ndarray:
+    """Numpy twin of :func:`apply_gate_targeted` for host (streaming)
+    canvases.  Processes one (sample, channel) frame stack at a time —
+    O(T * H * W) working memory, so a past-HBM-ceiling streamed field
+    (the only caller at such sizes) never doubles its own footprint."""
+    fake = np.asarray(fake, np.float32)
+    lead = fake.shape[:-4]
+    t, ny, nx = fake.shape[-4:-1]
+    g = _np_gauss(ny, nx)
+    h = 1.0 - g
+    n2 = float(ny * nx) ** 2
+    pred_energy = np.broadcast_to(np.asarray(pred_energy, np.float32),
+                                  lead + (2,))
+    floor = float(floor)
+
+    out = np.empty_like(fake)
+    flat = fake.reshape((-1,) + fake.shape[-4:])
+    oflat = out.reshape((-1,) + fake.shape[-4:])
+    pflat = pred_energy.reshape(-1, 2)
+    wm, wa = h ** 2, (h * g) ** 2
+    wb, wc = h ** 3 * g, h ** 4
+    for i in range(flat.shape[0]):
+        for ch in (0, 1):
+            m = a = b = c = 0.0
+            for f in range(t):  # numpy fft promotes to complex128 —
+                # frame-at-a-time keeps working memory O(H * W)
+                spec = np.fft.fft2(np.nan_to_num(flat[i, f, ..., ch]))
+                p = (spec.real ** 2 + spec.imag ** 2) / n2
+                m += float(np.sum(wm * p))
+                a += float(np.sum(wa * p))
+                b += float(np.sum(wb * p))
+                c += float(np.sum(wc * p))
+            m, a, b, c = m / t, a / t, b / t, c / t
+            pe = float(pflat[i, ch])
+            target = max(pe, floor)
+            disc = max(b * b + c * (target - a), 0.0)
+            s = (-b + np.sqrt(disc)) / max(c, 1e-12)
+            s = float(np.clip(s, S_MIN, S_MAX))
+            if pe <= floor and m <= floor:
+                s = 1.0
+            mult = g + s * h
+            for f in range(t):
+                frame = flat[i, f, ..., ch]
+                finite = np.isfinite(frame)
+                gated = np.fft.ifft2(
+                    np.fft.fft2(np.nan_to_num(frame)) * mult
+                ).real.astype(np.float32)
+                oflat[i, f, ..., ch] = np.where(finite, gated, frame)
+    return out
+
+
 def save_gate_npz(path: str, params: Params) -> None:
     np.savez(path, **{k: np.asarray(v) for k, v in params.items()})
 

@@ -38,6 +38,10 @@ class WindDownscalingGAN:
         self._train_step = None
         self._eval_step = None
         self._gen_fwd = None
+        # Optional flow-conditional texture gate (models/texture_gate.py):
+        # params dict, or None.  get_network() fills this from the bundled
+        # asset; networks built directly stay ungated.
+        self.texture_gate = None
 
     # -- forward -----------------------------------------------------------
     @property
