@@ -201,3 +201,37 @@ class TestApiIntegration:
         assert api._LAST_RUN["texture_gate"] is False
         np.testing.assert_allclose(auto["u10"].values[finite], u0[finite],
                                    atol=1e-6)
+
+    def test_streaming_gate_matches_monolithic(self):
+        """The streamed path gates through the numpy twin, the monolithic
+        path through the jitted device fn — same gains, seam-identical
+        output to float precision."""
+        from windtpu import api
+        from windtpu.core.config import GANConfig, TrainConfig
+        from windtpu.network import WindDownscalingGAN
+        from test_infer import (TINY_M, _fake_dem, _fake_era5,
+                                build_high_res_template_from_era5,
+                                process_era5, process_topo)
+
+        cfg = GANConfig(model=TINY_M, train=TrainConfig(batch_size=2))
+        network = WindDownscalingGAN(cfg)
+        era5 = _fake_era5(nt=4)
+        tpl = build_high_res_template_from_era5(era5)
+        inputs_era5 = process_era5(era5, tpl)
+        inputs_topo = process_topo(_fake_dem(), tpl)
+
+        params = tg.init_params(jax.random.key(3))
+        params["floor"] = jnp.float32(1e-7)
+        kw = dict(overlap_factor=0.01, network=network,
+                  key=jax.random.key(0), mesh=None, texture_gate=params)
+        mono = api.predict(inputs_era5, inputs_topo, tpl,
+                           streaming=False, **kw)
+        assert api._LAST_RUN["texture_gate"] is True
+        stream = api.predict(inputs_era5, inputs_topo, tpl,
+                             streaming=True, **kw)
+        assert api._LAST_RUN["mode"] == "streaming"
+        assert api._LAST_RUN["texture_gate"] is True
+        a, b = mono["u10"].values, stream["u10"].values
+        fin = np.isfinite(a)
+        np.testing.assert_array_equal(fin, np.isfinite(b))
+        np.testing.assert_allclose(a[fin], b[fin], atol=1e-4)
